@@ -1,0 +1,27 @@
+"""keras_ocr_tpu: a TPU-native (JAX/XLA/Flax/Pallas) scene-text OCR framework.
+
+Provides the same capabilities as the reference ``keras-ocr`` package
+(reference: /root/reference/keras_ocr/__init__.py:1-12) — a CRAFT text
+detector plus CRNN recognizer pipeline with synthetic data generation,
+dataset loaders, training, and evaluation — rebuilt TPU-first: models are
+Flax modules compiled by XLA, detection post-processing / perspective
+cropping / CTC decoding run on-device, and training scales over
+``jax.sharding.Mesh`` data-parallel shardings instead of
+``tf.distribute.MirroredStrategy``.
+"""
+
+from . import config
+from . import tools
+from . import evaluation
+from . import ops
+from . import models
+from . import weights
+from . import detection
+from . import recognition
+from . import pipeline
+from . import parallel
+from . import data
+from . import datasets
+from . import data_generation
+
+__version__ = "0.1.0"
