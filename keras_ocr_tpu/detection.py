@@ -1,1 +1,271 @@
-"""Detector facade (CRAFT). Implemented in models/craft.py + ops/postprocess.py."""
+"""Text detection: CRAFT model facade, post-processing, and Detector API.
+
+Public surface mirrors the reference ``keras_ocr.detection``
+(/root/reference/keras_ocr/detection.py): ``compute_input``,
+``get_gaussian_heatmap``, ``getBoxes``, ``Detector`` — but the model is a
+Flax CRAFT (:mod:`keras_ocr_tpu.models.craft`) and the hot inference path
+runs heatmap post-processing on-device
+(:mod:`keras_ocr_tpu.ops.postprocess`). ``getBoxes`` here is the faithful
+host (NumPy/scipy) implementation of the reference algorithm — used as the
+oracle for the device kernels and available as a fallback.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import ndimage as _ndimage
+
+from . import tools
+from .models.craft import CRAFT
+from .ops import image as image_ops
+from .ops import postprocess as postprocess_ops
+
+PRETRAINED_WEIGHTS = None  # populated lazily from weights registry
+
+
+def compute_input(image):
+    """Host NumPy ImageNet normalization (detection.py:34-42)."""
+    image = np.asarray(image).astype("float32")
+    mean = np.array([0.485, 0.456, 0.406])
+    variance = np.array([0.229, 0.224, 0.225])
+    return (image - mean * 255) / (variance * 255)
+
+
+def invert_input(X):
+    """Inverse of :func:`compute_input` (detection.py:45-52)."""
+    mean = np.array([0.485, 0.456, 0.406])
+    variance = np.array([0.229, 0.224, 0.225])
+    return (np.asarray(X) * variance * 255 + mean * 255).clip(0, 255).astype("uint8")
+
+
+def get_gaussian_heatmap(size=512, distanceRatio=3.34):
+    """Isotropic 2-D gaussian template for detector GT (detection.py:55-62)."""
+    v = np.abs(np.linspace(-size / 2, size / 2, num=size))
+    x, y = np.meshgrid(v, v)
+    g = np.sqrt(x**2 + y**2)
+    g *= distanceRatio / (size / 2)
+    g = np.exp(-(1 / 2) * (g**2))
+    g *= 255
+    return g.clip(0, 255).astype("uint8")
+
+
+_FOUR_CONNECTED = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+
+
+def _dilate_cv2_style(mask: np.ndarray, niter: int) -> np.ndarray:
+    """Set dilation by a (1+niter)^2 square with cv2's default anchor.
+
+    cv2.dilate computes dst(x) = max src(x + o) for offsets
+    o in [-anchor, k-1-anchor] with anchor = k//2, i.e. the set grows by
+    ``k//2`` toward +x/+y and ``k-1-k//2`` toward -x/-y.
+    """
+    k = 1 + niter
+    a = k // 2
+    b = k - 1 - a
+    out = np.zeros_like(mask)
+    height, width = mask.shape
+    for dy in range(-b, a + 1):
+        # A source pixel p lights destination p + (dy, dx).
+        yd0, yd1 = max(dy, 0), height + min(dy, 0)
+        ys0, ys1 = max(-dy, 0), height + min(-dy, 0)
+        for dx in range(-b, a + 1):
+            xd0, xd1 = max(dx, 0), width + min(dx, 0)
+            xs0, xs1 = max(-dx, 0), width + min(-dx, 0)
+            out[yd0:yd1, xd0:xd1] |= mask[ys0:ys1, xs0:xs1]
+    return out
+
+
+def getBoxes(
+    y_pred,
+    detection_threshold=0.7,
+    text_threshold=0.4,
+    link_threshold=0.4,
+    size_threshold=10,
+):
+    """Host-side heatmaps -> rotated word boxes, per image.
+
+    Faithful NumPy/scipy implementation of the reference OpenCV loop
+    (/root/reference/keras_ocr/detection.py:207-287): threshold, 4-connected
+    components, area + peak-confidence filters, overlap-removed segmap,
+    per-component square dilation, min-area-rect with the near-square
+    "diamond" fallback, clockwise ordering, x2 rescale.
+    """
+    box_groups = []
+    for heatmaps in y_pred:
+        textmap = np.asarray(heatmaps[..., 0])
+        linkmap = np.asarray(heatmaps[..., 1])
+        img_h, img_w = textmap.shape
+        text_score = textmap > text_threshold
+        link_score = linkmap > link_threshold
+        combined = text_score | link_score
+        labels, n_components = _ndimage.label(combined, structure=_FOUR_CONNECTED)
+        boxes = []
+        for component_id in range(1, n_components + 1):
+            mask = labels == component_id
+            size = int(mask.sum())
+            if size < size_threshold:
+                continue
+            if textmap[mask].max() < detection_threshold:
+                continue
+            segmap = mask & ~(link_score & text_score)
+            ys, xs = np.nonzero(mask)
+            x, y = xs.min(), ys.min()
+            w, h = xs.max() - x + 1, ys.max() - y + 1
+            niter = int(np.sqrt(size * min(w, h) / (w * h)) * 2)
+            # Dilate, restricted to the reference's ROI window.
+            dilated = _dilate_cv2_style(segmap, niter)
+            roi = np.zeros_like(segmap)
+            sx, sy = max(x - niter, 0), max(y - niter, 0)
+            ex, ey = min(x + w + niter + 1, img_w), min(y + h + niter + 1, img_h)
+            roi[sy:ey, sx:ex] = True
+            dilated &= roi
+            pys, pxs = np.nonzero(dilated)
+            if len(pxs) == 0:
+                continue
+            points = np.stack([pxs, pys], axis=1).astype("float32")
+            box = tools.min_area_rect(points)
+            bw = np.linalg.norm(box[0] - box[1])
+            bh = np.linalg.norm(box[1] - box[2])
+            box_ratio = max(bw, bh) / (min(bw, bh) + 1e-5)
+            if abs(1 - box_ratio) <= 0.1:
+                l, r = pxs.min(), pxs.max()
+                t, b = pys.min(), pys.max()
+                box = np.array([[l, t], [r, t], [r, b], [l, b]], dtype="float32")
+            else:
+                box = np.array(np.roll(box, 4 - box.sum(axis=1).argmin(), 0))
+            boxes.append(2 * box)
+        box_groups.append(
+            np.array(boxes, dtype="float32") if boxes else np.zeros((0, 4, 2), "float32")
+        )
+    return box_groups
+
+
+def boxes_from_mask(boxes: np.ndarray, mask: np.ndarray) -> typing.List[np.ndarray]:
+    """Convert fixed-shape device output (B, C, 4, 2) + mask to ragged lists."""
+    out = []
+    for image_boxes, image_mask in zip(np.asarray(boxes), np.asarray(mask)):
+        out.append(image_boxes[image_mask].astype("float32"))
+    return out
+
+
+class Detector:
+    """CRAFT text detector.
+
+    API parity with /root/reference/keras_ocr/detection.py:661-785, with a
+    jitted Flax forward + on-device post-processing. ``weights=None`` (or a
+    missing cache in offline environments) leaves the model randomly
+    initialized.
+    """
+
+    def __init__(
+        self,
+        weights: typing.Optional[str] = "clovaai_general",
+        load_from_torch: bool = False,
+        optimizer: str = "adam",
+        backbone_name: str = "vgg",
+        compute_dtype=jnp.float32,
+        max_components: int = 256,
+    ):
+        from . import weights as weights_lib
+
+        self.backbone_name = backbone_name
+        self.optimizer_name = optimizer
+        self.max_components = max_components
+        self.model = CRAFT(backbone_name=backbone_name, dtype=compute_dtype)
+        self.variables = None
+        if weights is not None:
+            pretrained_key = (weights, load_from_torch)
+            assert backbone_name == "vgg", "Pretrained weights available only for VGG."
+            assert (
+                pretrained_key in weights_lib.DETECTOR_PRETRAINED
+            ), "Selected weights configuration not found."
+            config = weights_lib.DETECTOR_PRETRAINED[pretrained_key]
+            weights_path = weights_lib.download_pretrained(config)
+            self.variables = weights_lib.load_craft_weights(weights_path)
+        if self.variables is None:
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+            )
+        self._forward = jax.jit(
+            lambda variables, x: self.model.apply(variables, x, train=False)
+        )
+
+    def heatmaps(self, images_array: np.ndarray) -> np.ndarray:
+        """Raw (B, H/2, W/2, 2) heatmaps for a normalized image batch."""
+        return np.asarray(self._forward(self.variables, jnp.asarray(images_array)))
+
+    def detect(
+        self,
+        images: typing.List[typing.Union[np.ndarray, str]],
+        detection_threshold=0.7,
+        text_threshold=0.4,
+        link_threshold=0.4,
+        size_threshold=10,
+        use_device_postprocess: bool = True,
+        **kwargs,
+    ) -> typing.List[np.ndarray]:
+        """Detect word boxes in images; returns a list of (N, 4, 2) arrays.
+
+        (/root/reference/keras_ocr/detection.py:745-785.)
+        """
+        images_array = np.array([compute_input(tools.read(image)) for image in images])
+        heatmaps = self._forward(self.variables, jnp.asarray(images_array))
+        if use_device_postprocess:
+            boxes, mask = postprocess_ops.get_boxes(
+                heatmaps,
+                detection_threshold=detection_threshold,
+                text_threshold=text_threshold,
+                link_threshold=link_threshold,
+                size_threshold=size_threshold,
+                max_components=self.max_components,
+            )
+            return boxes_from_mask(boxes, mask)
+        return getBoxes(
+            np.asarray(heatmaps),
+            detection_threshold=detection_threshold,
+            text_threshold=text_threshold,
+            link_threshold=link_threshold,
+            size_threshold=size_threshold,
+        )
+
+    def get_batch_generator(
+        self,
+        image_generator,
+        batch_size=8,
+        heatmap_size=512,
+        heatmap_distance_ratio=1.5,
+    ):
+        """Training batch generator: (X, y[, sample_weights]).
+
+        (/root/reference/keras_ocr/detection.py:698-743.)
+        """
+        from .data.detection_targets import compute_maps
+
+        heatmap = get_gaussian_heatmap(
+            size=heatmap_size, distanceRatio=heatmap_distance_ratio
+        )
+        while True:
+            batch = [next(image_generator) for _ in range(batch_size)]
+            images = np.array([entry[0] for entry in batch])
+            line_groups = [entry[1] for entry in batch]
+            X = compute_input(images)
+            y = np.array(
+                [
+                    compute_maps(
+                        heatmap=heatmap,
+                        image_height=images.shape[1],
+                        image_width=images.shape[2],
+                        lines=lines,
+                    )
+                    for lines in line_groups
+                ]
+            )
+            if len(batch[0]) == 3:
+                sample_weights = np.array([sample[2] for sample in batch])
+                yield X, y, sample_weights
+            else:
+                yield X, y

@@ -1,0 +1,257 @@
+"""CRNN text recognizer as a Flax module.
+
+Re-implements the reference Keras CRNN graph
+(/root/reference/keras_ocr/recognition.py:187-350) TPU-first. Notable
+semantics reproduced exactly (they are baked into the pretrained weights):
+
+* Input (H=31, W=200, 1) is permuted to width-major and flipped along the
+  original height axis (recognition.py:215-216) so the conv stack sees a
+  (200, 31) "image".
+* 7-conv stack with inline ReLU; BatchNorm (Keras defaults eps=1e-3) after
+  convs 3, 5, 7; 2x2 max-pool after bn_3 and bn_5 (recognition.py:217-242).
+* Spatial Transformer (recognition.py:54-166,243-281): localization net
+  (conv16-5x5, conv32-5x5, flatten, dense64, dense6) predicts an affine
+  map; the sampling grid uses ``0.5 * (g + 1) * size`` with indices
+  clipped *before* the bilinear weights are computed — including the
+  quirky zero-contribution at the right/bottom edges — reproduced
+  literally.
+* Reshape to (50, 3584), dense-128 ReLU, then two bidirectional LSTM
+  stages where the backward pass output is *not* re-reversed: stage 1 sums
+  forward + backward, stage 2 concatenates (recognition.py:292-319).
+  LSTMs use Keras gate order [i, f, c~, o], sigmoid recurrent activation,
+  tanh activation.
+* Dropout, dense softmax over len(alphabet)+1 classes, and the first
+  ``rnn_steps_to_discard=2`` frames dropped (recognition.py:321-328).
+
+TPU mapping: the input projection ``x @ W`` of each LSTM is hoisted out of
+the recurrence into one big (B*T, in) x (in, 4u) matmul on the MXU; only
+the (u, 4u) recurrent matmul stays inside ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BUILD_PARAMS = {
+    "height": 31,
+    "width": 200,
+    "color": False,
+    "filters": (64, 128, 256, 256, 512, 512, 512),
+    "rnn_units": (128, 128),
+    "dropout": 0.25,
+    "rnn_steps_to_discard": 2,
+    "pool_size": 2,
+    "stn": True,
+}
+
+
+class KerasLSTM(nn.Module):
+    """LSTM with Keras weight layout/semantics, scanned over time.
+
+    Weight layout matches Keras exactly for free weight conversion:
+    ``kernel`` (in, 4u), ``recurrent_kernel`` (u, 4u), ``bias`` (4u,) with
+    gate order [i, f, c~, o]; recurrent_activation=sigmoid, activation=tanh.
+    ``reverse=True`` replicates ``go_backwards=True``: the input is
+    processed back-to-front and the output is returned in processing order
+    (NOT flipped back), as the reference consumes it
+    (recognition.py:298-319).
+    """
+
+    units: int
+    reverse: bool = False
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        batch, time, features = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(), (features, 4 * self.units)
+        ).astype(self.dtype)
+        recurrent = self.param(
+            "recurrent_kernel",
+            nn.initializers.orthogonal(),
+            (self.units, 4 * self.units),
+        ).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (4 * self.units,)).astype(
+            self.dtype
+        )
+
+        inputs = x.astype(self.dtype)
+        if self.reverse:
+            inputs = inputs[:, ::-1, :]
+        # Hoist the input projection out of the recurrence: one MXU matmul.
+        projected = jnp.einsum("bti,iu->btu", inputs, kernel) + bias
+
+        units = self.units
+
+        def step(carry, z_t):
+            h, c = carry
+            z = z_t + h @ recurrent
+            i = jax.nn.sigmoid(z[:, :units])
+            f = jax.nn.sigmoid(z[:, units : 2 * units])
+            c_tilde = jnp.tanh(z[:, 2 * units : 3 * units])
+            o = jax.nn.sigmoid(z[:, 3 * units :])
+            c_new = f * c + i * c_tilde
+            h_new = o * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        h0 = jnp.zeros((batch, units), dtype=self.dtype)
+        c0 = jnp.zeros((batch, units), dtype=self.dtype)
+        _, outputs = jax.lax.scan(
+            step, (h0, c0), jnp.transpose(projected, (1, 0, 2))
+        )
+        return jnp.transpose(outputs, (1, 0, 2))
+
+
+class SpatialTransformer(nn.Module):
+    """Affine STN with the reference's exact grid/sampling arithmetic.
+
+    (/root/reference/keras_ocr/recognition.py:54-166,263-281.)
+    """
+
+    dtype: typing.Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        batch, height, width, channels = x.shape
+
+        # Localization network (recognition.py:268-278).
+        y = nn.Conv(16, (5, 5), padding="SAME", dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(y)
+        y = nn.Conv(32, (5, 5), padding="SAME", dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(y)
+        y = y.reshape((batch, -1))
+        y = nn.Dense(64, dtype=self.dtype, name="dense1")(y)
+        y = nn.relu(y)
+        theta = nn.Dense(6, dtype=self.dtype, name="dense2")(y)
+        theta = theta.reshape((batch, 2, 3)).astype(jnp.float32)
+
+        # Sampling grid in [-1, 1] (recognition.py:61-94). linspace matches
+        # tf.linspace (endpoints included).
+        x_lin = jnp.linspace(-1.0, 1.0, width)
+        y_lin = jnp.linspace(-1.0, 1.0, height)
+        x_grid, y_grid = jnp.meshgrid(x_lin, y_lin)
+        ones = jnp.ones_like(x_grid)
+        grid = jnp.stack(
+            [x_grid.reshape(-1), y_grid.reshape(-1), ones.reshape(-1)], axis=0
+        )  # (3, H*W)
+        transformed = jnp.einsum("bij,jn->bin", theta, grid)  # (B, 2, H*W)
+        sx = 0.5 * (transformed[:, 0, :] + 1.0) * width
+        sy = 0.5 * (transformed[:, 1, :] + 1.0) * height
+
+        # Bilinear sampling with clip-before-weights (recognition.py:112-160).
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        x1 = x0 + 1
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        y1 = y0 + 1
+        x0 = jnp.clip(x0, 0, width - 1)
+        x1 = jnp.clip(x1, 0, width - 1)
+        y0 = jnp.clip(y0, 0, height - 1)
+        y1 = jnp.clip(y1, 0, height - 1)
+
+        flat = x.astype(jnp.float32).reshape((batch, height * width, channels))
+
+        def gather(yy, xx):
+            idx = yy * width + xx  # (B, H*W)
+            return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+        va = gather(y0, x0)
+        vb = gather(y1, x0)
+        vc = gather(y0, x1)
+        vd = gather(y1, x1)
+        x0f, x1f = x0.astype(jnp.float32), x1.astype(jnp.float32)
+        y0f, y1f = y0.astype(jnp.float32), y1.astype(jnp.float32)
+        wa = ((x1f - sx) * (y1f - sy))[..., None]
+        wb = ((x1f - sx) * (sy - y0f))[..., None]
+        wc = ((sx - x0f) * (y1f - sy))[..., None]
+        wd = ((sx - x0f) * (sy - y0f))[..., None]
+        out = wa * va + wb * vb + wc * vc + wd * vd
+        return out.reshape((batch, height, width, channels)).astype(self.dtype)
+
+
+class CRNN(nn.Module):
+    """Full CRNN graph. ``__call__`` returns post-softmax frames with the
+    first ``rnn_steps_to_discard`` dropped; ``backbone`` returns the
+    pre-dropout biLSTM features (the reference's ``backbone`` model,
+    recognition.py:320)."""
+
+    alphabet_size: int = 36
+    height: int = 31
+    width: int = 200
+    color: bool = False
+    filters: typing.Tuple[int, ...] = (64, 128, 256, 256, 512, 512, 512)
+    rnn_units: typing.Tuple[int, int] = (128, 128)
+    dropout: float = 0.25
+    rnn_steps_to_discard: int = 2
+    pool_size: int = 2
+    stn: bool = True
+    dtype: typing.Any = jnp.float32
+
+    def setup(self):
+        assert len(self.filters) == 7, "7 CNN filters must be provided."
+        assert len(self.rnn_units) == 2, "2 RNN filters must be provided."
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_backbone: bool = False):
+        x = x.astype(self.dtype)
+        # Permute to width-major and flip the original height axis
+        # (recognition.py:215-216).
+        x = jnp.transpose(x, (0, 2, 1, 3))[:, :, ::-1, :]
+
+        def conv(h, features, name):
+            h = nn.Conv(features, (3, 3), padding="SAME", dtype=self.dtype, name=name)(h)
+            return nn.relu(h)
+
+        def bn(h, name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                epsilon=1e-3,
+                momentum=0.99,
+                dtype=self.dtype,
+                name=name,
+            )(h)
+
+        p = self.pool_size
+        x = conv(x, self.filters[0], "conv_1")
+        x = conv(x, self.filters[1], "conv_2")
+        x = conv(x, self.filters[2], "conv_3")
+        x = bn(x, "bn_3")
+        x = nn.max_pool(x, (p, p), strides=(p, p), padding="VALID")
+        x = conv(x, self.filters[3], "conv_4")
+        x = conv(x, self.filters[4], "conv_5")
+        x = bn(x, "bn_5")
+        x = nn.max_pool(x, (p, p), strides=(p, p), padding="VALID")
+        x = conv(x, self.filters[5], "conv_6")
+        x = conv(x, self.filters[6], "conv_7")
+        x = bn(x, "bn_7")
+
+        if self.stn:
+            x = SpatialTransformer(dtype=self.dtype, name="stn")(x)
+
+        time = self.width // p**2
+        x = x.reshape((x.shape[0], time, (self.height // p**2) * self.filters[-1]))
+
+        x = nn.Dense(self.rnn_units[0], dtype=self.dtype, name="fc_9")(x)
+        x = nn.relu(x)
+
+        fwd1 = KerasLSTM(self.rnn_units[0], dtype=self.dtype, name="lstm_10")(x)
+        bwd1 = KerasLSTM(
+            self.rnn_units[0], reverse=True, dtype=self.dtype, name="lstm_10_back"
+        )(x)
+        x = fwd1 + bwd1
+        fwd2 = KerasLSTM(self.rnn_units[1], dtype=self.dtype, name="lstm_11")(x)
+        bwd2 = KerasLSTM(
+            self.rnn_units[1], reverse=True, dtype=self.dtype, name="lstm_11_back"
+        )(x)
+        features = jnp.concatenate([fwd2, bwd2], axis=-1)
+        if return_backbone:
+            return features.astype(jnp.float32)
+
+        x = nn.Dropout(self.dropout, deterministic=not train)(features)
+        x = nn.Dense(self.alphabet_size + 1, dtype=self.dtype, name="fc_12")(x)
+        x = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+        return x[:, self.rnn_steps_to_discard :]

@@ -1,0 +1,102 @@
+"""On-device image ops: normalization, bilinear resize, padding.
+
+Replaces the host-side NumPy/TF image plumbing of the reference:
+``compute_input`` ImageNet normalization
+(/root/reference/keras_ocr/detection.py:34-52) and the ``UpsampleLike``
+bilinear resize with ``half_pixel_centers=True``
+(/root/reference/keras_ocr/detection.py:290-309). Everything here is
+jittable and intended to live inside the fused pipeline graph so images
+cross the host↔device boundary exactly once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_VARIANCE = (0.229, 0.224, 0.225)
+
+
+def compute_input(image: jnp.ndarray) -> jnp.ndarray:
+    """ImageNet mean/variance normalization of RGB images in [0, 255].
+
+    Parity with /root/reference/keras_ocr/detection.py:34-42.
+    """
+    image = image.astype(jnp.float32)
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32) * 255.0
+    variance = jnp.asarray(IMAGENET_VARIANCE, dtype=jnp.float32) * 255.0
+    return (image - mean) / variance
+
+
+def invert_input(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`compute_input` back to uint8 RGB.
+
+    Parity with /root/reference/keras_ocr/detection.py:45-52.
+    """
+    mean = jnp.asarray(IMAGENET_MEAN, dtype=jnp.float32) * 255.0
+    variance = jnp.asarray(IMAGENET_VARIANCE, dtype=jnp.float32) * 255.0
+    return jnp.clip(x * variance + mean, 0, 255).astype(jnp.uint8)
+
+
+def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bilinear resize with half-pixel centers on an NHWC batch.
+
+    Matches ``tf.compat.v1.image.resize_bilinear(half_pixel_centers=True)``
+    used by the reference's ``UpsampleLike``
+    (/root/reference/keras_ocr/detection.py:301-303) and torch
+    ``interpolate(mode="bilinear", align_corners=False)``. Implemented as
+    two dense (out x in) interpolation matmuls so the op runs on the MXU
+    instead of gather units — for the U-decoder's 2x upsamples the
+    matrices are tiny and XLA folds them into the surrounding convs.
+    """
+    batch, in_h, in_w, channels = x.shape
+    # HIGHEST precision keeps fp32 parity on TPU (the default matmul
+    # precision truncates to bf16); for bf16 activations this is a no-op.
+    out = jnp.einsum(
+        "oh,bhwc->bowc",
+        _interp_matrix(in_h, height, x.dtype),
+        x,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.einsum(
+        "ow,bhwc->bhoc",
+        _interp_matrix(in_w, width, x.dtype),
+        out,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out
+
+
+def _interp_matrix(in_size: int, out_size: int, dtype) -> jnp.ndarray:
+    """(out_size, in_size) half-pixel-centers bilinear interpolation weights."""
+    scale = in_size / out_size
+    centers = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    centers = jnp.clip(centers, 0.0, in_size - 1)
+    lo = jnp.floor(centers).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, in_size - 1)
+    frac = centers - lo
+    rows = jnp.arange(out_size)
+    mat = jnp.zeros((out_size, in_size), dtype=jnp.float32)
+    mat = mat.at[rows, lo].add(1.0 - frac)
+    mat = mat.at[rows, hi].add(frac)
+    return mat.astype(dtype)
+
+
+def upsample_like(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Resize ``source`` (NHWC) to the spatial shape of ``target``.
+
+    The reference's ``UpsampleLike`` layer
+    (/root/reference/keras_ocr/detection.py:290-309).
+    """
+    return resize_bilinear(source, target.shape[1], target.shape[2])
+
+
+def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
+    """ITU-R 601 luma transform matching ``cv2.cvtColor(RGB2GRAY)``.
+
+    Used for recognizer input prep (the reference converts crops on host at
+    /root/reference/keras_ocr/recognition.py:429-436,508-510).
+    """
+    weights = jnp.asarray([0.299, 0.587, 0.114], dtype=jnp.float32)
+    return jnp.tensordot(image.astype(jnp.float32), weights, axes=[[-1], [0]])

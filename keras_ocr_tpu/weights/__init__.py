@@ -1,0 +1,208 @@
+"""Pretrained-weight registry, download, and conversion to Flax param trees.
+
+Mirrors the reference's weight distribution: the same GitHub-release URLs
+and sha256 hashes (/root/reference/keras_ocr/detection.py:647-658,
+recognition.py:27-44) cached via sha256-verified download
+(tools.py:501-530), plus converters from the published formats — torch
+``.pth`` state_dicts and Keras ``.h5`` files — into this framework's Flax
+variable trees (the analog of detection.py:428-468's name-mapped loader).
+"""
+
+from __future__ import annotations
+
+import typing
+
+import numpy as np
+
+from .. import tools
+from ..models.craft import VGG_BLOCKS
+
+DETECTOR_PRETRAINED = {
+    ("clovaai_general", True): {
+        "url": "https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/craft_mlt_25k.pth",
+        "filename": "craft_mlt_25k.pth",
+        "sha256": "4a5efbfb48b4081100544e75e1e2b57f8de3d84f213004b14b85fd4b3748db17",
+    },
+    ("clovaai_general", False): {
+        "url": "https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/craft_mlt_25k.h5",
+        "filename": "craft_mlt_25k.h5",
+        "sha256": "7283ce2ff05a0617e9740c316175ff3bacdd7215dbdf1a726890d5099431f899",
+    },
+}
+
+RECOGNIZER_PRETRAINED: typing.Dict[str, typing.Any] = {
+    "kurapan": {
+        "weights": {
+            "notop": {
+                "url": "https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/crnn_kurapan_notop.h5",
+                "filename": "crnn_kurapan_notop.h5",
+                "sha256": "027fd2cced3cbea0c4f5894bb8e9e85bac04f11daf96b8fdcf1e4ee95dcf51b9",
+            },
+            "top": {
+                "url": "https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/crnn_kurapan.h5",
+                "filename": "crnn_kurapan.h5",
+                "sha256": "a7d8086ac8f5c3d6a0a828f7d6fbabcaf815415dd125c32533013f85603be46d",
+            },
+        },
+    }
+}
+
+
+def download_pretrained(config: dict) -> str:
+    """Fetch a registry entry into the shared cache, verifying sha256."""
+    return tools.download_and_verify(
+        url=config["url"], filename=config["filename"], sha256=config["sha256"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRAFT name mapping: reference layer name -> (path in our tree, kind)
+# ---------------------------------------------------------------------------
+
+
+def craft_name_map() -> typing.Dict[str, typing.Tuple[typing.Tuple[str, ...], str]]:
+    """Reference CRAFT layer names -> our Flax param paths.
+
+    The reference names mirror the torch state_dict
+    (/root/reference/keras_ocr/detection.py:65-103,353-410), so this one
+    table serves both the .pth and .h5 converters.
+    """
+    mapping: typing.Dict[str, typing.Tuple[typing.Tuple[str, ...], str]] = {}
+    for slice_name, idx, _, _ in VGG_BLOCKS:
+        base = ("basenet", f"{slice_name}_{idx}")
+        mapping[f"basenet.{slice_name}.{idx}"] = (base + ("conv",), "conv")
+        mapping[f"basenet.{slice_name}.{idx + 1}"] = (base + ("bn",), "bn")
+    mapping["basenet.slice5.1"] = (("slice5_1",), "conv")
+    mapping["basenet.slice5.2"] = (("slice5_2",), "conv")
+    for i in range(1, 5):
+        mapping[f"upconv{i}.conv.0"] = ((f"upconv{i}", "block0", "conv"), "conv")
+        mapping[f"upconv{i}.conv.1"] = ((f"upconv{i}", "block0", "bn"), "bn")
+        mapping[f"upconv{i}.conv.3"] = ((f"upconv{i}", "block1", "conv"), "conv")
+        mapping[f"upconv{i}.conv.4"] = ((f"upconv{i}", "block1", "bn"), "bn")
+    for n in (0, 2, 4, 6, 8):
+        mapping[f"conv_cls.{n}"] = ((f"conv_cls_{n}",), "conv")
+    return mapping
+
+
+def _set_path(tree: dict, path: typing.Tuple[str, ...], leaf_name: str, value):
+    node = tree
+    for key in path:
+        node = node.setdefault(key, {})
+    node[leaf_name] = value
+
+
+def craft_variables_from_torch_state_dict(state_dict) -> dict:
+    """Convert a CRAFT ``.pth`` state_dict into Flax ``{'params', 'batch_stats'}``.
+
+    Conv kernels go OIHW -> HWIO; BN (weight, bias, running_mean,
+    running_var) -> (scale, bias) params + (mean, var) batch stats.
+    Equivalent role to /root/reference/keras_ocr/detection.py:428-468.
+    """
+    cleaned = {}
+    for key, value in state_dict.items():
+        name = key[len("module."):] if key.startswith("module.") else key
+        cleaned[name] = np.asarray(value)
+    params: dict = {}
+    batch_stats: dict = {}
+    for ref_name, (path, kind) in craft_name_map().items():
+        if kind == "conv":
+            weight = cleaned[f"{ref_name}.weight"].transpose(2, 3, 1, 0)
+            bias = cleaned[f"{ref_name}.bias"]
+            _set_path(params, path, "kernel", weight.astype(np.float32))
+            _set_path(params, path, "bias", bias.astype(np.float32))
+        else:
+            _set_path(params, path, "scale", cleaned[f"{ref_name}.weight"].astype(np.float32))
+            _set_path(params, path, "bias", cleaned[f"{ref_name}.bias"].astype(np.float32))
+            _set_path(batch_stats, path, "mean", cleaned[f"{ref_name}.running_mean"].astype(np.float32))
+            _set_path(batch_stats, path, "var", cleaned[f"{ref_name}.running_var"].astype(np.float32))
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a ``.pth`` file (host-side torch) and convert to Flax variables."""
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu", weights_only=True)
+    return craft_variables_from_torch_state_dict(
+        {k: v.numpy() for k, v in state_dict.items()}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keras .h5 reading
+# ---------------------------------------------------------------------------
+
+
+def _h5_layer_weights(h5file, layer_name: str) -> typing.List[np.ndarray]:
+    """Collect the ordered weight arrays stored for one Keras layer."""
+    import h5py
+
+    root = h5file["model_weights"] if "model_weights" in h5file else h5file
+    if layer_name not in root:
+        raise KeyError(layer_name)
+    group = root[layer_name]
+    names = group.attrs.get("weight_names")
+    arrays = []
+    if names is not None:
+        for name in names:
+            if isinstance(name, bytes):
+                name = name.decode()
+            arrays.append(np.asarray(group[name]))
+    else:
+        def visit(_, obj):
+            if isinstance(obj, h5py.Dataset):
+                arrays.append(np.asarray(obj))
+        group.visititems(visit)
+    return arrays
+
+
+def craft_variables_from_h5(path: str) -> dict:
+    """Convert the published ``craft_mlt_25k.h5`` into Flax variables.
+
+    Keras stores conv as [kernel(HWIO), bias] and BN as
+    [gamma, beta, moving_mean, moving_var] — exactly our layout, so this
+    is a pure re-pathing using :func:`craft_name_map`.
+    """
+    import h5py
+
+    params: dict = {}
+    batch_stats: dict = {}
+    with h5py.File(path, "r") as f:
+        for ref_name, (tree_path, kind) in craft_name_map().items():
+            arrays = _h5_layer_weights(f, ref_name)
+            if kind == "conv":
+                kernel, bias = arrays
+                _set_path(params, tree_path, "kernel", kernel.astype(np.float32))
+                _set_path(params, tree_path, "bias", bias.astype(np.float32))
+            else:
+                gamma, beta, mean, var = arrays
+                _set_path(params, tree_path, "scale", gamma.astype(np.float32))
+                _set_path(params, tree_path, "bias", beta.astype(np.float32))
+                _set_path(batch_stats, tree_path, "mean", mean.astype(np.float32))
+                _set_path(batch_stats, tree_path, "var", var.astype(np.float32))
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_craft_weights(path: str) -> dict:
+    """Dispatch on file extension (.h5 Keras / .pth torch)."""
+    if path.endswith(".h5"):
+        return craft_variables_from_h5(path)
+    if path.endswith(".pth"):
+        return load_torch_checkpoint(path)
+    raise NotImplementedError(f"Cannot load weights from {path}")
+
+
+def validate_against(variables: dict, reference_variables: dict) -> None:
+    """Assert two variable trees have identical structure and shapes."""
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = {
+        jax.tree_util.keystr(path): leaf.shape
+        for path, leaf in jax.tree_util.tree_leaves_with_path(reference_variables)
+    }
+    for path, leaf in flat_a:
+        key = jax.tree_util.keystr(path)
+        assert key in flat_b, f"Missing {key}"
+        assert flat_b[key] == leaf.shape, f"Shape mismatch at {key}: {flat_b[key]} vs {leaf.shape}"
+    assert len(flat_a) == len(flat_b), "Variable count mismatch"

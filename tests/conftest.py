@@ -2,15 +2,24 @@
 
 Multi-chip hardware is not required for tests: sharding/collective code is
 validated on fake CPU devices via ``xla_force_host_platform_device_count``
-(the strategy called out in SURVEY.md §4). These env vars must be set
-before the first ``import jax`` anywhere in the test process.
+(the strategy called out in SURVEY.md §4).
+
+Note: this environment ships a sitecustomize that pins the TPU plugin and
+overrides the ``JAX_PLATFORMS`` env var, so we must force CPU through
+``jax.config`` (and ``JAX_PLATFORM_NAME`` for subprocesses) before any
+test touches JAX.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,205 @@
+"""CRAFT Flax model: shape checks + numerical parity vs a torch twin.
+
+The analog of /root/reference/tests/test_pytorch_keras.py:21-49 — but since
+pretrained weights can't be downloaded in this environment, parity is
+checked with random weights against an independently written torch
+implementation of the same graph (functional torch.nn.functional calls on
+a reference-named state_dict), exercising conv/BN/pool/dilated-conv/
+bilinear-resize semantics end to end at <=1e-4.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keras_ocr_tpu import weights as weights_lib
+from keras_ocr_tpu.models.craft import CRAFT, VGG_BLOCKS
+from keras_ocr_tpu.ops.image import compute_input, invert_input, resize_bilinear
+
+torch = pytest.importorskip("torch")
+F = torch.nn.functional
+
+
+def _init_variables(seed=0, height=64, width=96):
+    model = CRAFT(dtype=jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, height, width, 3)), train=False
+    )
+    # Randomize batch stats so BN math is actually exercised.
+    rng = np.random.RandomState(seed + 1)
+    stats = jax.tree.map(
+        lambda x: jnp.asarray(rng.uniform(0.5, 2.0, x.shape).astype("float32")),
+        variables["batch_stats"],
+    )
+    return model, {"params": variables["params"], "batch_stats": stats}
+
+
+def _variables_to_torch_state_dict(variables):
+    """Inverse of the converter: Flax tree -> reference-named torch tensors."""
+    sd = {}
+    for ref_name, (path, kind) in weights_lib.craft_name_map().items():
+        pnode = variables["params"]
+        for key in path:
+            pnode = pnode[key]
+        if kind == "conv":
+            sd[f"{ref_name}.weight"] = torch.tensor(
+                np.asarray(pnode["kernel"]).transpose(3, 2, 0, 1)
+            )
+            sd[f"{ref_name}.bias"] = torch.tensor(np.asarray(pnode["bias"]))
+        else:
+            snode = variables["batch_stats"]
+            for key in path:
+                snode = snode[key]
+            sd[f"{ref_name}.weight"] = torch.tensor(np.asarray(pnode["scale"]))
+            sd[f"{ref_name}.bias"] = torch.tensor(np.asarray(pnode["bias"]))
+            sd[f"{ref_name}.running_mean"] = torch.tensor(np.asarray(snode["mean"]))
+            sd[f"{ref_name}.running_var"] = torch.tensor(np.asarray(snode["var"]))
+    return sd
+
+
+def _torch_craft_forward(sd, x):
+    """Torch twin of our CRAFT graph (NCHW), written independently."""
+
+    def conv(h, name, dilation=1):
+        w = sd[f"{name}.weight"]
+        pad = dilation * (w.shape[2] - 1) // 2
+        return F.conv2d(h, w, sd[f"{name}.bias"], padding=pad, dilation=dilation)
+
+    def bn(h, name):
+        return F.batch_norm(
+            h,
+            sd[f"{name}.running_mean"],
+            sd[f"{name}.running_var"],
+            sd[f"{name}.weight"],
+            sd[f"{name}.bias"],
+            training=False,
+            eps=1e-5,
+        )
+
+    taps = {}
+    h = x
+    for slice_name, idx, _, pool in VGG_BLOCKS:
+        last = (slice_name, idx) == ("slice4", 37)
+        h = bn(conv(h, f"basenet.{slice_name}.{idx}"), f"basenet.{slice_name}.{idx + 1}")
+        if not last:
+            h = F.relu(h)
+        if (slice_name, idx) == ("slice1", 10):
+            taps["s1"] = h
+        elif (slice_name, idx) == ("slice2", 17):
+            taps["s2"] = h
+        elif (slice_name, idx) == ("slice3", 27):
+            taps["s3"] = h
+        elif last:
+            taps["s4"] = h
+        if pool:
+            h = F.max_pool2d(h, 2, 2)
+
+    s5 = F.max_pool2d(taps["s4"], 3, stride=1, padding=1)
+    s5 = conv(s5, "basenet.slice5.1", dilation=6)
+    s5 = conv(s5, "basenet.slice5.2")
+
+    def upconv(h, i):
+        h = F.relu(bn(conv(h, f"upconv{i}.conv.0"), f"upconv{i}.conv.1"))
+        h = F.relu(bn(conv(h, f"upconv{i}.conv.3"), f"upconv{i}.conv.4"))
+        return h
+
+    y = torch.cat([s5, taps["s4"]], dim=1)
+    y = upconv(y, 1)
+    for i, skip in ((2, "s3"), (3, "s2"), (4, "s1")):
+        y = F.interpolate(
+            y, size=taps[skip].shape[2:], mode="bilinear", align_corners=False
+        )
+        y = torch.cat([y, taps[skip]], dim=1)
+        y = upconv(y, i)
+
+    y = F.relu(conv(y, "conv_cls.0"))
+    y = F.relu(conv(y, "conv_cls.2"))
+    y = F.relu(conv(y, "conv_cls.4"))
+    y = F.relu(conv(y, "conv_cls.6"))
+    y = conv(y, "conv_cls.8")
+    return y
+
+
+def test_craft_output_shape():
+    model, variables = _init_variables()
+    x = jnp.zeros((1, 64, 96, 3))
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 32, 48, 2)
+    assert y.dtype == jnp.float32
+
+
+def test_craft_parity_with_torch_twin():
+    model, variables = _init_variables()
+    rng = np.random.RandomState(7)
+    image = rng.uniform(0, 255, size=(1, 64, 96, 3)).astype("float32")
+    x = compute_input(jnp.asarray(image))
+
+    ours = np.asarray(model.apply(variables, x, train=False))
+
+    sd = _variables_to_torch_state_dict(variables)
+    with torch.no_grad():
+        theirs = (
+            _torch_craft_forward(sd, torch.tensor(np.asarray(x).transpose(0, 3, 1, 2)))
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+    np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_torch_state_dict_round_trip():
+    _, variables = _init_variables(seed=3)
+    sd = _variables_to_torch_state_dict(variables)
+    # Prefix with "module." as the published .pth does.
+    sd = {f"module.{k}": v.numpy() for k, v in sd.items()}
+    recovered = weights_lib.craft_variables_from_torch_state_dict(sd)
+    weights_lib.validate_against(recovered, variables)
+    for a, b in zip(
+        jax.tree.leaves(recovered), jax.tree.leaves(variables)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_resize_bilinear_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 12, 3).astype("float32")
+    for out_h, out_w in [(16, 24), (15, 23), (5, 7), (8, 12)]:
+        ours = np.asarray(resize_bilinear(jnp.asarray(x), out_h, out_w))
+        with torch.no_grad():
+            theirs = (
+                F.interpolate(
+                    torch.tensor(x.transpose(0, 3, 1, 2)),
+                    size=(out_h, out_w),
+                    mode="bilinear",
+                    align_corners=False,
+                )
+                .numpy()
+                .transpose(0, 2, 3, 1)
+            )
+        np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+
+def test_compute_input_roundtrip():
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, size=(4, 6, 3)).astype("float32")
+    x = compute_input(jnp.asarray(image))
+    # Matches the reference normalization constants (detection.py:34-42).
+    expected = (image - np.array([0.485, 0.456, 0.406]) * 255) / (
+        np.array([0.229, 0.224, 0.225]) * 255
+    )
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-5)
+    back = np.asarray(invert_input(x))
+    # uint8 cast truncates, so fp error can shift a value by 1.
+    assert np.abs(back.astype("int32") - image.astype("int32")).max() <= 1
+
+
+def test_craft_bfloat16_close_to_fp32():
+    model, variables = _init_variables()
+    model_bf16 = CRAFT(dtype=jnp.bfloat16)
+    rng = np.random.RandomState(11)
+    x = compute_input(jnp.asarray(rng.uniform(0, 255, (1, 64, 96, 3)).astype("float32")))
+    y32 = np.asarray(model.apply(variables, x, train=False))
+    y16 = np.asarray(model_bf16.apply(variables, x, train=False))
+    # bf16 compute should track fp32 within heatmap tolerance.
+    assert np.abs(y16 - y32).mean() < 0.05

@@ -1,0 +1,146 @@
+"""On-device getBoxes vs the faithful host oracle.
+
+The device kernels (ops/cc.py label propagation, ops/postprocess.py segment
+reductions + analytic dilation) are validated against
+keras_ocr_tpu.detection.getBoxes — the NumPy/scipy implementation of the
+reference's OpenCV algorithm (detection.py:207-287) — on synthetic
+CRAFT-like heatmaps with known word layouts.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from keras_ocr_tpu import detection, evaluation
+from keras_ocr_tpu.ops import cc as cc_ops
+from keras_ocr_tpu.ops import postprocess as postprocess_ops
+from scipy import ndimage
+
+
+def _synthetic_heatmap(rng, height=128, width=192, n_words=4):
+    """Gaussian char bumps along rotated lines + link bumps between chars."""
+    textmap = np.zeros((height, width), dtype="float32")
+    linkmap = np.zeros((height, width), dtype="float32")
+    yy, xx = np.mgrid[0:height, 0:width]
+    for _ in range(n_words):
+        n_chars = rng.randint(3, 7)
+        cx = rng.uniform(25, width - 25)
+        cy = rng.uniform(20, height - 20)
+        angle = rng.uniform(-0.5, 0.5)
+        spacing = rng.uniform(7, 10)
+        sigma = rng.uniform(2.5, 3.5)
+        for i in range(n_chars):
+            t = (i - (n_chars - 1) / 2) * spacing
+            px = cx + t * np.cos(angle)
+            py = cy + t * np.sin(angle)
+            bump = np.exp(-((xx - px) ** 2 + (yy - py) ** 2) / (2 * sigma**2))
+            textmap = np.maximum(textmap, 0.95 * bump.astype("float32"))
+            if i > 0:
+                lx = cx + (t - spacing / 2) * np.cos(angle)
+                ly = cy + (t - spacing / 2) * np.sin(angle)
+                lbump = np.exp(-((xx - lx) ** 2 + (yy - ly) ** 2) / (2 * sigma**2))
+                linkmap = np.maximum(linkmap, 0.85 * lbump.astype("float32"))
+    return np.stack([textmap, linkmap], axis=-1)
+
+
+def test_label_components_matches_scipy():
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        fg = rng.rand(40, 60) > 0.6
+        ours = np.asarray(cc_ops.label_components(jnp.asarray(fg)))
+        expected, n = ndimage.label(fg, structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+        # Same partition: our labels are root flat indices; map both to
+        # canonical form and compare.
+        assert (ours[~fg] == fg.size).all()
+        our_roots = ours[fg]
+        scipy_ids = expected[fg]
+        # bijection check
+        pairs = set(zip(our_roots.tolist(), scipy_ids.tolist()))
+        assert len(pairs) == len(set(r for r, _ in pairs))
+        assert len(pairs) == len(set(s for _, s in pairs))
+        assert len(pairs) == n
+
+
+def test_compact_labels_raster_order():
+    fg = np.zeros((10, 10), bool)
+    fg[1, 1] = True  # component 0 (but area 1)
+    fg[2, 5:8] = True  # component 1
+    fg[7, 2:4] = True  # component 2
+    labels = cc_ops.label_components(jnp.asarray(fg))
+    comp, n = cc_ops.compact_labels(labels, 8)
+    comp = np.asarray(comp)
+    assert int(n) == 3
+    assert comp[1, 1] == 0
+    assert (comp[2, 5:8] == 1).all()
+    assert (comp[7, 2:4] == 2).all()
+    assert (comp[~fg] == 8).all()
+
+
+def _match_boxes(device_boxes, host_boxes):
+    """Greedy IoU matching; returns list of best-IoU per host box."""
+    ious = []
+    used = set()
+    for hb in host_boxes:
+        best, best_j = 0.0, None
+        for j, db in enumerate(device_boxes):
+            if j in used:
+                continue
+            iou = evaluation.iou_score(hb, db)
+            if iou > best:
+                best, best_j = iou, j
+        if best_j is not None:
+            used.add(best_j)
+        ious.append(best)
+    return ious
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_device_boxes_match_host_oracle(seed):
+    rng = np.random.RandomState(seed)
+    hm = _synthetic_heatmap(rng)
+    host = detection.getBoxes(hm[None])[0]
+    boxes, mask = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=64)
+    device = detection.boxes_from_mask(boxes, mask)[0]
+    assert len(host) > 0, "oracle found no boxes; bad synthetic heatmap"
+    assert len(device) == len(host)
+    ious = _match_boxes(device, host)
+    assert min(ious) > 0.7, f"worst IoU {min(ious)}: device {device}, host {host}"
+    assert np.mean(ious) > 0.85
+
+
+def test_device_boxes_filters():
+    # A tiny blob (area < 10) and a low-confidence blob must be dropped.
+    hm = np.zeros((64, 64, 2), dtype="float32")
+    hm[10:12, 10:12, 0] = 0.9  # area 4 < 10 -> dropped
+    hm[30:36, 30:42, 0] = 0.5  # peak 0.5 < 0.7 -> dropped
+    hm[50:56, 20:44, 0] = 0.9  # kept
+    host = detection.getBoxes(hm[None])[0]
+    boxes, mask = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
+    device = detection.boxes_from_mask(boxes, mask)[0]
+    assert len(host) == 1
+    assert len(device) == 1
+    assert evaluation.iou_score(device[0], host[0]) > 0.8
+
+
+def test_device_boxes_empty():
+    hm = np.zeros((64, 64, 2), dtype="float32")
+    boxes, mask = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
+    assert not np.asarray(mask).any()
+    host = detection.getBoxes(hm[None])
+    assert len(host[0]) == 0
+
+
+def test_axis_aligned_rectangle_box_exact():
+    # One clean axis-aligned rectangle: device and host should agree closely
+    # and the box should cover the blob (x2 scale).
+    hm = np.zeros((64, 96, 2), dtype="float32")
+    hm[20:30, 16:60, 0] = 0.95
+    host = detection.getBoxes(hm[None])[0]
+    boxes, mask = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
+    device = detection.boxes_from_mask(boxes, mask)[0]
+    assert len(host) == 1 and len(device) == 1
+    assert evaluation.iou_score(device[0], host[0]) > 0.9
+    # Scaled x2: blob x-range [16,59] -> box approx [30, 120] wide.
+    assert device[0][:, 0].min() == pytest.approx(host[0][:, 0].min(), abs=4)
+    assert device[0][:, 1].min() == pytest.approx(host[0][:, 1].min(), abs=4)
