@@ -24,4 +24,8 @@ from . import data
 from . import datasets
 from . import data_generation
 
+from .detection import Detector
+from .recognition import Recognizer
+from .pipeline import Pipeline
+
 __version__ = "0.1.0"

@@ -196,7 +196,13 @@ class CRNN(nn.Module):
         assert len(self.rnn_units) == 2, "2 RNN filters must be provided."
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_backbone: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        return_backbone: bool = False,
+        return_logits: bool = False,
+    ):
         x = x.astype(self.dtype)
         # Permute to width-major and flip the original height axis
         # (recognition.py:215-216).
@@ -253,5 +259,7 @@ class CRNN(nn.Module):
 
         x = nn.Dropout(self.dropout, deterministic=not train)(features)
         x = nn.Dense(self.alphabet_size + 1, dtype=self.dtype, name="fc_12")(x)
-        x = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+        x = x.astype(jnp.float32)
+        if not return_logits:
+            x = jax.nn.softmax(x, axis=-1)
         return x[:, self.rnn_steps_to_discard :]

@@ -1,0 +1,107 @@
+"""Device mesh construction and sharding helpers.
+
+The distributed layer of the framework: replaces the reference's only
+parallelism primitive — ``tf.distribute.MirroredStrategy`` single-host
+data parallelism with NCCL all-reduce
+(/root/reference/scripts/train_recognizer_synthtext90_multigpu.py:129-137)
+— with ``jax.sharding.Mesh`` + ``NamedSharding``. Axes:
+
+* ``data``: batch (data-parallel) axis; gradients are reduced by XLA
+  collectives over ICI automatically when params are replicated and the
+  batch is sharded.
+* ``model``: tensor-parallel axis for wide layers (column-parallel dense
+  kernels). The CRAFT/CRNN models are small (~20M/8.7M params) so DP is
+  the production configuration (model=1), but the axis exists so large
+  batches / custom variants can shard — the SURVEY §2c design.
+
+Multi-host initialization (ICI within a slice, DCN across slices) goes
+through :func:`initialize_distributed`.
+"""
+
+from __future__ import annotations
+
+import typing
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Initialize multi-host JAX (jax.distributed). No-op if single-host."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process
+
+
+def create_mesh(
+    shape: typing.Optional[typing.Tuple[int, int]] = None,
+    axis_names: typing.Tuple[str, str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Default: all devices on the data axis (pure DP), model axis size 1.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if shape is None:
+        shape = (len(devices), 1)
+    grid = np.asarray(devices).reshape(shape)
+    return Mesh(grid, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a pytree of batch arrays with the batch axis sharded on data."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def crnn_param_sharding(mesh: Mesh):
+    """Tensor-parallel sharding rules for CRNN parameters.
+
+    Column-parallel on the wide dense/LSTM kernels (output-feature axis on
+    ``model``); everything else replicated. With ``model`` axis size 1
+    this degenerates to pure replication (the DP production config).
+    """
+
+    model_size = mesh.shape["model"]
+
+    def spec_for(path: typing.Tuple[str, ...], leaf) -> NamedSharding:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if (
+            leaf.ndim == 2
+            and leaf.shape[1] % model_size == 0
+            and (
+                "fc_9/kernel" in name
+                or "fc_12/kernel" in name
+                or ("lstm" in name and name.endswith("kernel"))
+            )
+        ):
+            return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P())
+
+    def apply(tree):
+        return jax.tree_util.tree_map_with_path(spec_for, tree)
+
+    return apply
+
+
+def shard_params(variables, mesh: Mesh, rules=None):
+    """Device_put a variable tree according to sharding rules (default:
+    replicate everything; pass :func:`crnn_param_sharding` for TP)."""
+    if rules is None:
+        sharding = replicated(mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), variables)
+    specs = rules(variables)
+    return jax.tree.map(jax.device_put, variables, specs)

@@ -1,0 +1,173 @@
+"""End-to-end OCR pipeline: detection -> crop -> recognition, fused on device.
+
+API parity with the reference ``keras_ocr.pipeline.Pipeline``
+(/root/reference/keras_ocr/pipeline.py:7-75): ``Pipeline(detector,
+recognizer, scale=2, max_size=2048)`` and ``recognize(images) ->
+[[(word, box)], ...]``. The execution model is redesigned TPU-first: the
+reference round-trips to host OpenCV between the two model ``predict``
+calls (getBoxes + per-word warpBox, SURVEY.md §3.1); here ImageNet
+normalization, CRAFT, heatmap post-processing, word compaction,
+perspective cropping, CRNN, and CTC decoding run as ONE jitted XLA
+program — images cross the host<->device boundary once per batch, and
+strings/boxes cross back once.
+
+Variable image sizes are handled by pad-to-bucket (multiples of
+``size_bucket``) so jit recompilation count stays bounded; words per image
+are capped at a static ``max_words`` (compacted from ``max_components``
+candidate components in raster order).
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import tools
+from ..detection import Detector
+from ..recognition import Recognizer
+from ..ops import ctc as ctc_ops
+from ..ops import postprocess as postprocess_ops
+from ..ops.image import compute_input, rgb_to_grayscale
+from ..ops.warp import warp_boxes_batch
+
+
+class Pipeline:
+    """A wrapper for a combination of detector and recognizer.
+
+    Args:
+        detector: The detector to use (default: pretrained CRAFT).
+        recognizer: The recognizer to use (default: pretrained CRNN).
+        scale: The scale factor to apply to input images.
+        max_size: The maximum single-side dimension of images.
+        max_words: Static per-image cap on recognized words (device path).
+        size_bucket: Pad image sides up to multiples of this to bound
+            recompilation.
+    """
+
+    def __init__(
+        self,
+        detector: typing.Optional[Detector] = None,
+        recognizer: typing.Optional[Recognizer] = None,
+        scale: int = 2,
+        max_size: int = 2048,
+        max_words: int = 64,
+        size_bucket: int = 32,
+    ):
+        if detector is None:
+            detector = Detector()
+        if recognizer is None:
+            recognizer = Recognizer()
+        self.scale = scale
+        self.detector = detector
+        self.recognizer = recognizer
+        self.max_size = max_size
+        self.max_words = max_words
+        self.size_bucket = size_bucket
+        self._fused = jax.jit(
+            self._device_pipeline,
+            static_argnames=("max_components", "max_words"),
+        )
+
+    def _device_pipeline(
+        self,
+        det_variables,
+        rec_variables,
+        images,  # (B, H, W, 3) float32 in [0, 255]
+        detection_threshold,
+        text_threshold,
+        link_threshold,
+        size_threshold,
+        max_components,
+        max_words,
+    ):
+        x = compute_input(images)
+        heatmaps = self.detector.model.apply(det_variables, x, train=False)
+        boxes, mask = postprocess_ops.get_boxes(
+            heatmaps,
+            detection_threshold=detection_threshold,
+            text_threshold=text_threshold,
+            link_threshold=link_threshold,
+            size_threshold=size_threshold,
+            max_components=max_components,
+        )
+        # Compact valid boxes into the first max_words slots (stable order).
+        order = jnp.argsort(~mask, axis=1, stable=True)[:, :max_words]  # (B, W)
+        boxes_c = jnp.take_along_axis(boxes, order[..., None, None], axis=1)
+        mask_c = jnp.take_along_axis(mask, order, axis=1)
+
+        # Grayscale with uint8 rounding to match the reference's host
+        # cvtColor-then-warp order (recognition.py:508-510).
+        gray = jnp.rint(jnp.clip(rgb_to_grayscale(images), 0, 255))
+        height, width, _ = self.recognizer.input_shape
+        crops = warp_boxes_batch(
+            gray, boxes_c, target_height=height, target_width=width
+        )  # (B, W, h, w)
+        crops = (crops / 255.0)[..., None]
+        batch, words = crops.shape[0], crops.shape[1]
+        probs = self.recognizer.model.apply(
+            rec_variables, crops.reshape((batch * words,) + crops.shape[2:]), train=False
+        )
+        decoded = ctc_ops.ctc_greedy_decode(probs)
+        decoded = decoded.reshape(batch, words, -1)
+        return boxes_c, mask_c, decoded
+
+    def recognize(
+        self,
+        images,
+        detection_kwargs: typing.Optional[dict] = None,
+        recognition_kwargs: typing.Optional[dict] = None,
+    ):
+        """Run the fused pipeline; returns a list of (word, box) lists.
+
+        (pipeline.py:28-75.)
+        """
+        detection_kwargs = dict(detection_kwargs or {})
+        if not isinstance(images, np.ndarray):
+            images = [tools.read(image) for image in images]
+        resized = [
+            tools.resize_image(image, max_scale=self.scale, max_size=self.max_size)
+            for image in images
+        ]
+        scales = [scale for _, scale in resized]
+        max_height = max(image.shape[0] for image, _ in resized)
+        max_width = max(image.shape[1] for image, _ in resized)
+        bucket = self.size_bucket
+        max_height = -(-max_height // bucket) * bucket
+        max_width = -(-max_width // bucket) * bucket
+        batch = np.array(
+            [
+                tools.pad(image, width=max_width, height=max_height)
+                for image, _ in resized
+            ]
+        ).astype("float32")
+
+        boxes, mask, decoded = self._fused(
+            self.detector.variables,
+            self.recognizer.variables,
+            jnp.asarray(batch),
+            detection_kwargs.get("detection_threshold", 0.7),
+            detection_kwargs.get("text_threshold", 0.4),
+            detection_kwargs.get("link_threshold", 0.4),
+            detection_kwargs.get("size_threshold", 10),
+            max_components=self.detector.max_components,
+            max_words=self.max_words,
+        )
+        boxes = np.asarray(boxes)
+        mask = np.asarray(mask)
+        decoded = np.asarray(decoded)
+
+        results = []
+        for i, scale in enumerate(scales):
+            valid = mask[i]
+            words = ctc_ops.ctc_decode_to_strings(
+                decoded[i][valid], self.recognizer.alphabet
+            )
+            image_boxes = boxes[i][valid].astype("float32")
+            if scale != 1:
+                image_boxes = image_boxes / scale
+            results.append(list(zip(words, [box for box in image_boxes])))
+        return results

@@ -1,1 +1,206 @@
-"""Recognizer facade (CRNN). Implemented in models/crnn.py + ops/ctc.py."""
+"""Text recognition: CRNN model facade and Recognizer API.
+
+Public surface mirrors the reference ``keras_ocr.recognition``
+(/root/reference/keras_ocr/recognition.py:353-545): ``DEFAULT_ALPHABET``,
+``DEFAULT_BUILD_PARAMS``, ``Recognizer`` with ``recognize``,
+``recognize_from_boxes``, ``get_batch_generator`` — backed by the Flax
+CRNN (:mod:`keras_ocr_tpu.models.crnn`) with jitted forward + on-device
+CTC greedy decoding (:mod:`keras_ocr_tpu.ops.ctc`). The fused
+detection->crop->recognition device path lives in
+:mod:`keras_ocr_tpu.pipeline`; the host ``recognize_from_boxes`` here
+keeps API parity for standalone use.
+"""
+
+from __future__ import annotations
+
+import string
+import typing
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import tools
+from .models.crnn import CRNN, DEFAULT_BUILD_PARAMS
+from .ops import ctc as ctc_ops
+
+DEFAULT_ALPHABET = string.digits + string.ascii_lowercase
+
+
+def rgb_to_grayscale_host(image: np.ndarray) -> np.ndarray:
+    """uint8 RGB -> uint8 gray with cv2.cvtColor(RGB2GRAY) rounding."""
+    weights = np.array([0.299, 0.587, 0.114])
+    return np.rint(image.astype("float64") @ weights).clip(0, 255).astype("uint8")
+
+
+class Recognizer:
+    """CRNN text recognizer with API parity to recognition.py:353-545."""
+
+    def __init__(
+        self,
+        alphabet: typing.Optional[str] = None,
+        weights: typing.Optional[str] = "kurapan",
+        build_params: typing.Optional[dict] = None,
+        compute_dtype=jnp.float32,
+    ):
+        from . import weights as weights_lib
+
+        assert alphabet or weights, "At least one of alphabet or weights must be provided."
+        if weights is not None:
+            build_params = build_params or dict(DEFAULT_BUILD_PARAMS)
+            alphabet = alphabet or DEFAULT_ALPHABET
+        build_params = dict(build_params or DEFAULT_BUILD_PARAMS)
+        if alphabet is None:
+            alphabet = DEFAULT_ALPHABET
+        self.alphabet = alphabet
+        self.blank_label_idx = len(alphabet)
+        self.build_params = build_params
+        self.model = CRNN(
+            alphabet_size=len(alphabet),
+            height=build_params["height"],
+            width=build_params["width"],
+            color=build_params["color"],
+            filters=tuple(build_params["filters"]),
+            rnn_units=tuple(build_params["rnn_units"]),
+            dropout=build_params["dropout"],
+            rnn_steps_to_discard=build_params["rnn_steps_to_discard"],
+            pool_size=build_params["pool_size"],
+            stn=build_params["stn"],
+            dtype=compute_dtype,
+        )
+        channels = 3 if build_params["color"] else 1
+        self.input_shape = (build_params["height"], build_params["width"], channels)
+        self.variables = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1,) + self.input_shape),
+            train=False,
+        )
+        if weights is not None:
+            pretrained = weights_lib.RECOGNIZER_PRETRAINED[weights]
+            if alphabet == DEFAULT_ALPHABET:
+                path = weights_lib.download_pretrained(pretrained["weights"]["top"])
+                loaded = weights_lib.crnn_variables_from_h5(path, include_top=True)
+            else:
+                print(
+                    "Provided alphabet does not match pretrained alphabet. "
+                    "Using backbone weights only."
+                )
+                path = weights_lib.download_pretrained(pretrained["weights"]["notop"])
+                loaded = weights_lib.crnn_variables_from_h5(path, include_top=False)
+                # Keep the randomly initialized classification head.
+                loaded["params"]["fc_12"] = self.variables["params"]["fc_12"]
+            weights_lib.validate_against(loaded, self.variables)
+            self.variables = jax.tree.map(jnp.asarray, loaded)
+        self._forward = jax.jit(
+            lambda variables, x: self.model.apply(variables, x, train=False)
+        )
+
+    # -- inference ---------------------------------------------------------
+
+    def _predict_strings(self, crops: np.ndarray) -> typing.List[str]:
+        """(N, H, W, C) float crops in [0,1] -> decoded strings."""
+        probs = self._forward(self.variables, jnp.asarray(crops))
+        decoded = ctc_ops.ctc_greedy_decode(probs)
+        return ctc_ops.ctc_decode_to_strings(np.asarray(decoded), self.alphabet)
+
+    def recognize(self, image) -> str:
+        """Recognize text in a single pre-cropped image.
+
+        (recognition.py:467-489.)
+        """
+        height, width, channels = self.input_shape
+        image = tools.read_and_fit(
+            filepath_or_array=image, width=width, height=height, cval=0
+        )
+        if channels == 1 and image.shape[-1] == 3:
+            image = rgb_to_grayscale_host(image)[..., np.newaxis]
+        image = image.astype("float32") / 255
+        return self._predict_strings(image[np.newaxis])[0]
+
+    def recognize_from_boxes(
+        self, images, box_groups, **kwargs
+    ) -> typing.List[typing.List[str]]:
+        """Recognize word crops given per-image box groups.
+
+        Host-crop path with API parity to recognition.py:491-537 (all crops
+        across all images batched into one device forward). The fully
+        fused on-device crop path is used by ``Pipeline.recognize``.
+        """
+        assert len(box_groups) == len(
+            images
+        ), "You must provide the same number of box groups as images."
+        height, width, channels = self.input_shape
+        crops = []
+        start_end: typing.List[typing.Tuple[int, int]] = []
+        for image, boxes in zip(images, box_groups):
+            image = tools.read(image)
+            if channels == 1 and image.shape[-1] == 3:
+                image = rgb_to_grayscale_host(image)
+            for box in boxes:
+                crops.append(
+                    tools.warpBox(
+                        image=image, box=np.asarray(box, "float32"),
+                        target_height=height, target_width=width,
+                    )
+                )
+            start = 0 if not start_end else start_end[-1][1]
+            start_end.append((start, start + len(boxes)))
+        if not crops:
+            return [[]] * len(images)
+        X = np.array(crops, dtype="float32") / 255
+        if len(X.shape) == 3:
+            X = X[..., np.newaxis]
+        predictions = self._predict_strings(X)
+        return [predictions[start:end] for start, end in start_end]
+
+    # -- training data -----------------------------------------------------
+
+    def get_batch_generator(self, image_generator, batch_size=8, lowercase=False):
+        """Yield ((images, labels, input_length, label_length), zeros) batches.
+
+        Same contract and validation as recognition.py:406-465; feeds
+        :mod:`keras_ocr_tpu.train.recognizer`.
+        """
+        y = np.zeros((batch_size, 1))
+        max_string_length = (
+            self.build_params["width"] // self.build_params["pool_size"] ** 2
+            - self.build_params["rnn_steps_to_discard"]
+        )
+        height, width, channels = self.input_shape
+        while True:
+            batch = [sample for sample, _ in zip(image_generator, range(batch_size))]
+            if channels != 3:
+                images = [
+                    rgb_to_grayscale_host(sample[0])[..., np.newaxis] for sample in batch
+                ]
+            else:
+                images = [sample[0] for sample in batch]
+            images = np.array([image.astype("float32") / 255 for image in images])
+            sentences = [sample[1].strip() for sample in batch]
+            if lowercase:
+                sentences = [sentence.lower() for sentence in sentences]
+            for c in "".join(sentences):
+                assert c in self.alphabet, f"Found illegal character: {c}"
+            assert all(sentences), "Found a zero length sentence."
+            assert all(
+                len(sentence) <= max_string_length for sentence in sentences
+            ), "A sentence is longer than this model can predict."
+            assert all(
+                "  " not in sentence for sentence in sentences
+            ), "Strings with multiple sequential spaces are not permitted."
+            label_length = np.array([len(sentence) for sentence in sentences])[
+                :, np.newaxis
+            ]
+            labels = np.array(
+                [
+                    [self.alphabet.index(c) for c in sentence]
+                    + [-1] * (max_string_length - len(sentence))
+                    for sentence in sentences
+                ]
+            )
+            input_length = np.ones((batch_size, 1)) * max_string_length
+            if len(batch[0]) == 3:
+                sample_weights = np.array([sample[2] for sample in batch])
+                yield (images, labels, input_length, label_length), y, sample_weights
+            else:
+                yield (images, labels, input_length, label_length), y

@@ -206,3 +206,90 @@ def validate_against(variables: dict, reference_variables: dict) -> None:
         assert key in flat_b, f"Missing {key}"
         assert flat_b[key] == leaf.shape, f"Shape mismatch at {key}: {flat_b[key]} vs {leaf.shape}"
     assert len(flat_a) == len(flat_b), "Variable count mismatch"
+
+
+# ---------------------------------------------------------------------------
+# CRNN (.h5) conversion
+# ---------------------------------------------------------------------------
+
+CRNN_CONV_LAYERS = tuple(f"conv_{i}" for i in range(1, 8))
+CRNN_BN_LAYERS = ("bn_3", "bn_5", "bn_7")
+CRNN_LSTM_LAYERS = ("lstm_10", "lstm_10_back", "lstm_11", "lstm_11_back")
+CRNN_DENSE_LAYERS = ("fc_9", "fc_12")
+# Our STN submodule layer names in order, matched to the auto-named layers
+# of the reference's nested localization model (recognition.py:268-278).
+CRNN_STN_LAYERS = ("conv1", "conv2", "dense1", "dense2")
+
+
+def _h5_find_stn_group(h5file):
+    """Locate the nested localization-net model group in a CRNN .h5.
+
+    The reference builds the locnet as an unnamed nested keras Model
+    (recognition.py:268-278), so its group carries an auto-generated name
+    ("model", "functional", ...). We find it by looking for the group whose
+    weight names include both conv2d* and dense* variables.
+    """
+    root = h5file["model_weights"] if "model_weights" in h5file else h5file
+    for name in root:
+        group = root[name]
+        names = group.attrs.get("weight_names")
+        if names is None:
+            continue
+        joined = b"|".join(n if isinstance(n, bytes) else n.encode() for n in names)
+        if b"conv2d" in joined and b"dense" in joined:
+            return group
+    return None
+
+
+def crnn_variables_from_h5(path: str, include_top: bool = True) -> dict:
+    """Convert a published CRNN ``.h5`` (top or notop) into Flax variables.
+
+    Keras layouts map 1:1 onto ours: conv [kernel(HWIO), bias], BN
+    [gamma, beta, mean, var], Dense [kernel(in,out), bias], LSTM
+    [kernel(in,4u), recurrent_kernel(u,4u), bias(4u)] with gate order
+    [i, f, c~, o] — see models/crnn.py.
+    """
+    import h5py
+
+    params: dict = {}
+    batch_stats: dict = {}
+    with h5py.File(path, "r") as f:
+        for name in CRNN_CONV_LAYERS:
+            kernel, bias = _h5_layer_weights(f, name)
+            params[name] = {"kernel": kernel.astype(np.float32), "bias": bias.astype(np.float32)}
+        for name in CRNN_BN_LAYERS:
+            gamma, beta, mean, var = _h5_layer_weights(f, name)
+            params[name] = {"scale": gamma.astype(np.float32), "bias": beta.astype(np.float32)}
+            batch_stats[name] = {"mean": mean.astype(np.float32), "var": var.astype(np.float32)}
+        for name in CRNN_LSTM_LAYERS:
+            kernel, recurrent, bias = _h5_layer_weights(f, name)
+            params[name] = {
+                "kernel": kernel.astype(np.float32),
+                "recurrent_kernel": recurrent.astype(np.float32),
+                "bias": bias.astype(np.float32),
+            }
+        dense_layers = CRNN_DENSE_LAYERS if include_top else CRNN_DENSE_LAYERS[:1]
+        for name in dense_layers:
+            kernel, bias = _h5_layer_weights(f, name)
+            params[name] = {"kernel": kernel.astype(np.float32), "bias": bias.astype(np.float32)}
+        stn = _h5_find_stn_group(f)
+        if stn is not None:
+            names = [
+                n.decode() if isinstance(n, bytes) else n
+                for n in stn.attrs["weight_names"]
+            ]
+            groups: dict = {}
+            for n in names:
+                layer = n.split("/")[-2]
+                groups.setdefault(layer, []).append(np.asarray(stn[n]))
+            ordered = sorted(
+                groups.items(), key=lambda kv: ("dense" in kv[0], kv[0])
+            )
+            stn_params = {}
+            for ours, (_, arrays) in zip(CRNN_STN_LAYERS, ordered):
+                stn_params[ours] = {
+                    "kernel": arrays[0].astype(np.float32),
+                    "bias": arrays[1].astype(np.float32),
+                }
+            params["stn"] = stn_params
+    return {"params": params, "batch_stats": batch_stats}

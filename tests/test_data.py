@@ -1,0 +1,223 @@
+"""Tests for the data subsystem: targets, augmentation, generation, datasets."""
+
+import os
+
+import numpy as np
+import pytest
+
+from keras_ocr_tpu import detection, tools
+from keras_ocr_tpu.data import augmentation, datasets, generation
+from keras_ocr_tpu.data.detection_targets import compute_maps
+
+
+def test_gaussian_heatmap():
+    hm = detection.get_gaussian_heatmap(size=64, distanceRatio=3.34)
+    assert hm.shape == (64, 64)
+    assert hm.dtype == np.uint8
+    assert hm.max() >= 250
+    # Peak near the center (even size: center falls between pixels),
+    # radially decreasing.
+    assert hm[32, 32] >= 250
+    assert hm[0, 0] < 5
+
+
+def test_compute_maps_horizontal_line():
+    heatmap = detection.get_gaussian_heatmap(size=64, distanceRatio=1.5)
+    boxes = [
+        np.array([[20, 20], [36, 20], [36, 44], [20, 44]], dtype="float32"),
+        np.array([[40, 20], [56, 20], [56, 44], [40, 44]], dtype="float32"),
+    ]
+    lines = [[(boxes[0], "a"), (boxes[1], "b")]]
+    y = compute_maps(heatmap=heatmap, image_height=64, image_width=128, lines=lines)
+    assert y.shape == (32, 64, 2)
+    assert 0 <= y.min() and y.max() <= 1
+    textmap, linkmap = y[..., 0], y[..., 1]
+    # Text energy at half-scale char centers.
+    assert textmap[16, 14] > 0.5  # center of first char (28/2, 16)
+    assert textmap[16, 24] > 0.5  # second char
+    # Link energy between the two chars.
+    assert linkmap[16, 19] > 0.1
+    # Nothing far away.
+    assert textmap[2, 55] < 0.05
+
+
+def test_compute_maps_space_breaks_link():
+    heatmap = detection.get_gaussian_heatmap(size=64, distanceRatio=1.5)
+    box = lambda x: np.array(
+        [[x, 20], [x + 16, 20], [x + 16, 44], [x, 44]], dtype="float32"
+    )
+    lines = [[(box(10), "a"), (box(30), " "), (box(50), "b")]]
+    y = compute_maps(heatmap=heatmap, image_height=64, image_width=128, lines=lines)
+    # No links anywhere: space resets the chain and the space char itself
+    # draws nothing.
+    assert y[..., 1].max() == 0
+
+
+def test_affine_keypoints_rotation():
+    aug = augmentation.Affine(rotate=90, seed=0).to_deterministic()
+    shape = (100, 100, 3)
+    xy = np.array([[50, 10]], dtype="float32")  # top-center
+    out = aug.apply_keypoints(xy, shape)
+    # 90 deg CCW-in-matrix (y-down: appears clockwise): top-center -> right-center
+    np.testing.assert_allclose(out[0], [90, 50], atol=1e-4)
+
+
+def test_affine_image_keypoint_consistency():
+    rng = np.random.RandomState(0)
+    image = np.zeros((60, 60, 3), dtype="uint8")
+    image[28:32, 40:44] = 255  # small white square
+    aug = augmentation.Affine(rotate=(10, 40), seed=3).to_deterministic()
+    moved = aug.apply_image(image)
+    center = aug.apply_keypoints(np.array([[42.0, 30.0]]), image.shape)[0]
+    # The white blob should be near the transformed keypoint.
+    ys, xs = np.nonzero(moved[..., 0] > 128)
+    assert len(xs) > 0
+    blob = np.array([xs.mean(), ys.mean()])
+    assert np.linalg.norm(blob - center) < 3.0
+
+
+def test_crop_and_fixed_size():
+    image = np.arange(100 * 80 * 3, dtype="uint8").reshape(100, 80, 3)
+    aug = augmentation.Sequential(
+        [
+            augmentation.Crop(px=(10, 0, 0, 20)),
+            augmentation.CropToFixedSize(width=40, height=50, position="right-bottom"),
+        ]
+    ).to_deterministic()
+    out = aug.apply_image(image)
+    assert out.shape == (50, 40, 3)
+    np.testing.assert_array_equal(out, image[10:60, 20:60])
+    kp = aug.apply_keypoints(np.array([[25.0, 15.0]]), image.shape)
+    np.testing.assert_allclose(kp[0], [5.0, 5.0])
+
+
+def test_tools_augment_drops_outside_boxes():
+    image = np.zeros((100, 100, 3), dtype="uint8")
+    boxes = [
+        np.array([[10, 10], [30, 10], [30, 30], [10, 30]], dtype="float32"),
+        np.array([[80, 80], [99, 80], [99, 99], [80, 99]], dtype="float32"),
+    ]
+    augmenter = augmentation.Sequential(
+        [augmentation.CropToFixedSize(width=50, height=50, position="right-bottom")]
+    )
+    _, boxes_aug = tools.augment(boxes=boxes, augmenter=augmenter, image=image)
+    # First box fully inside; second box fully cropped away.
+    assert len(boxes_aug) == 1
+
+
+def test_photometric_augmenters():
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (20, 20, 3), dtype="uint8")
+    for aug in [
+        augmentation.Multiply((0.5, 0.6), seed=1),
+        augmentation.GammaContrast((2.0, 3.0), seed=1),
+        augmentation.Invert(p=1.0, seed=1),
+        augmentation.GaussianBlur((1.0, 2.0), seed=1),
+    ]:
+        out = aug.augment_image(image)
+        assert out.shape == image.shape
+        assert not np.array_equal(out, image)
+        # keypoints unchanged
+        kp = aug.to_deterministic().apply_keypoints(np.array([[3.0, 4.0]]), image.shape)
+        np.testing.assert_allclose(kp[0], [3.0, 4.0])
+
+
+def test_text_generator_fallback_alphabet_filter():
+    import string
+
+    alphabet = string.ascii_lowercase + " "
+    gen = generation.get_text_generator(alphabet=alphabet, lowercase=True)
+    for _ in range(5):
+        sentence = next(gen)
+        assert all(c in alphabet for c in sentence)
+
+
+def test_draw_text_image_default_font():
+    text = "hello world"
+    image, lines = generation.draw_text_image(
+        text=text, fontsize=16, height=100, width=200, fonts={"helo wrd": None}
+    )
+    assert image.shape == (100, 200, 4)
+    assert image[..., 3].max() > 200  # something was drawn (antialiased)
+    drawn = "".join(c for line in lines for _, c in line)
+    assert len(drawn) > 0
+    for line in lines:
+        for box, character in line:
+            assert box.shape == (4, 2)
+
+
+def test_get_maximum_uniform_contour():
+    image = np.zeros((100, 120, 3), dtype="uint8")
+    image[:, 60:] = 255  # right half light, left half dark
+    contour, is_dark = generation.get_maximum_uniform_contour(image, fontsize=10)
+    assert contour is not None
+    assert len(contour) >= 3
+    # too-small area -> None
+    tiny = np.full((20, 20, 3), 128, dtype="uint8")
+    contour, is_dark = generation.get_maximum_uniform_contour(tiny, fontsize=30)
+    assert contour is None and is_dark is None
+
+
+def test_get_image_generator_and_recognizer_input():
+    import string
+
+    text_gen = generation.get_text_generator(
+        alphabet=string.ascii_lowercase + " ", lowercase=True
+    )
+    image_gen = generation.get_image_generator(
+        height=160,
+        width=256,
+        font_groups={string.ascii_lowercase + " ": [None]},  # default PIL font
+        text_generator=text_gen,
+        font_size=14,
+    )
+    image, lines = next(image_gen)
+    assert image.shape == (160, 256, 3)
+    assert len(lines) > 0
+    rec_gen = generation.convert_image_generator_to_recognizer_input(
+        image_generator=image_gen,
+        max_string_length=8,
+        target_width=200,
+        target_height=31,
+    )
+    crop, sentence = next(rec_gen)
+    assert crop.shape == (31, 200, 3)
+    assert len(sentence) <= 8
+
+
+def test_detector_image_generator(tmp_path):
+    rng = np.random.RandomState(0)
+    filepaths = []
+    for i in range(2):
+        image = rng.randint(0, 255, (80, 100, 3), dtype="uint8")
+        path = str(tmp_path / f"im{i}.png")
+        import PIL.Image
+
+        PIL.Image.fromarray(image).save(path)
+        filepaths.append(path)
+    box = np.array([[10, 10], [40, 10], [40, 30], [10, 30]], dtype="float32")
+    labels = [(fp, [[(box, "a")]], 1) for fp in filepaths]
+    gen = datasets.get_detector_image_generator(
+        labels=labels, width=128, height=128, shuffle=False
+    )
+    image, lines, confidence = next(gen)
+    assert image.shape == (128, 128, 3)
+    assert confidence == 1
+    assert len(lines) == 1
+
+
+def test_recognizer_image_generator(tmp_path):
+    import PIL.Image
+
+    rng = np.random.RandomState(0)
+    image = rng.randint(0, 255, (31, 200, 3), dtype="uint8")
+    path = str(tmp_path / "word.png")
+    PIL.Image.fromarray(image).save(path)
+    labels = [(path, None, "hello")]
+    gen = datasets.get_recognizer_image_generator(
+        labels=labels, height=31, width=200, alphabet="helo"
+    )
+    crop, text = next(gen)
+    assert crop.shape == (31, 200, 3)
+    assert text == "hello".replace("h", "h")  # filtered to alphabet
+    assert all(c in "helo" for c in text)
