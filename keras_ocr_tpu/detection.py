@@ -102,7 +102,12 @@ def getBoxes(
         text_score = textmap > text_threshold
         link_score = linkmap > link_threshold
         combined = text_score | link_score
-        labels, n_components = _ndimage.label(combined, structure=_FOUR_CONNECTED)
+        from . import native
+
+        if native.available():
+            labels, n_components = native.label_components(combined)
+        else:
+            labels, n_components = _ndimage.label(combined, structure=_FOUR_CONNECTED)
         boxes = []
         for component_id in range(1, n_components + 1):
             mask = labels == component_id
@@ -117,7 +122,12 @@ def getBoxes(
             w, h = xs.max() - x + 1, ys.max() - y + 1
             niter = int(np.sqrt(size * min(w, h) / (w * h)) * 2)
             # Dilate, restricted to the reference's ROI window.
-            dilated = _dilate_cv2_style(segmap, niter)
+            from . import native
+
+            if native.available():
+                dilated = native.dilate_square(segmap, niter)
+            else:
+                dilated = _dilate_cv2_style(segmap, niter)
             roi = np.zeros_like(segmap)
             sx, sy = max(x - niter, 0), max(y - niter, 0)
             ex, ey = min(x + w + niter + 1, img_w), min(y + h + niter + 1, img_h)

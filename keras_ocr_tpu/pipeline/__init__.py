@@ -69,21 +69,30 @@ class Pipeline:
         self.size_bucket = size_bucket
         self._fused = jax.jit(
             self._device_pipeline,
-            static_argnames=("max_components", "max_words"),
+            static_argnames=("max_components", "max_words", "resize_to"),
         )
 
     def _device_pipeline(
         self,
         det_variables,
         rec_variables,
-        images,  # (B, H, W, 3) float32 in [0, 255]
+        images,  # (B, H, W, 3) float32 or uint8 in [0, 255]
         detection_threshold,
         text_threshold,
         link_threshold,
         size_threshold,
         max_components,
         max_words,
+        resize_to=None,  # static (H', W'): upscale on device (x`scale`)
     ):
+        from ..ops.image import resize_bilinear
+
+        images = images.astype(jnp.float32)
+        if resize_to is not None:
+            # The reference upsamples on host before inference
+            # (pipeline.py:44-47); doing it on device lets the host send
+            # small uint8 originals — 16x less host->device traffic.
+            images = resize_bilinear(images, resize_to[0], resize_to[1])
         x = compute_input(images)
         heatmaps = self.detector.model.apply(det_variables, x, train=False)
         boxes, mask = postprocess_ops.get_boxes(
@@ -113,7 +122,18 @@ class Pipeline:
         )
         decoded = ctc_ops.ctc_greedy_decode(probs)
         decoded = decoded.reshape(batch, words, -1)
-        return boxes_c, mask_c, decoded
+        # Pack everything into ONE output array so the host needs a single
+        # fetch (each fetch pays a full RPC round trip on tunneled TPUs).
+        # Values are small ints / coords, exactly representable in fp32.
+        packed = jnp.concatenate(
+            [
+                boxes_c.reshape(batch, words, 8),
+                mask_c[..., None].astype(jnp.float32),
+                decoded.astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+        return packed
 
     def recognize(
         self,
@@ -128,37 +148,65 @@ class Pipeline:
         detection_kwargs = dict(detection_kwargs or {})
         if not isinstance(images, np.ndarray):
             images = [tools.read(image) for image in images]
-        resized = [
-            tools.resize_image(image, max_scale=self.scale, max_size=self.max_size)
+        bucket = self.size_bucket
+        scales = [
+            self.max_size / max(image.shape)
+            if max(image.shape) * self.scale > self.max_size
+            else self.scale
             for image in images
         ]
-        scales = [scale for _, scale in resized]
-        max_height = max(image.shape[0] for image, _ in resized)
-        max_width = max(image.shape[1] for image, _ in resized)
-        bucket = self.size_bucket
-        max_height = -(-max_height // bucket) * bucket
-        max_width = -(-max_width // bucket) * bucket
-        batch = np.array(
-            [
-                tools.pad(image, width=max_width, height=max_height)
-                for image, _ in resized
+        uniform_scale = len(set(scales)) == 1 and float(scales[0]).is_integer()
+        if uniform_scale:
+            # Fast path: ship small uint8 originals, upscale on device.
+            scale = int(scales[0])
+            max_height = max(image.shape[0] for image in images)
+            max_width = max(image.shape[1] for image in images)
+            max_height = -(-max_height // bucket) * bucket
+            max_width = -(-max_width // bucket) * bucket
+            batch = np.array(
+                [
+                    tools.pad(image, width=max_width, height=max_height)
+                    for image in images
+                ],
+                dtype="uint8",
+            )
+            resize_to = (max_height * scale, max_width * scale)
+        else:
+            resized = [
+                tools.resize_image(image, max_scale=self.scale, max_size=self.max_size)
+                for image in images
             ]
-        ).astype("float32")
+            scales = [scale for _, scale in resized]
+            max_height = max(image.shape[0] for image, _ in resized)
+            max_width = max(image.shape[1] for image, _ in resized)
+            max_height = -(-max_height // bucket) * bucket
+            max_width = -(-max_width // bucket) * bucket
+            batch = np.array(
+                [
+                    tools.pad(image, width=max_width, height=max_height)
+                    for image, _ in resized
+                ],
+                dtype="uint8",
+            )
+            resize_to = None
 
-        boxes, mask, decoded = self._fused(
-            self.detector.variables,
-            self.recognizer.variables,
-            jnp.asarray(batch),
-            detection_kwargs.get("detection_threshold", 0.7),
-            detection_kwargs.get("text_threshold", 0.4),
-            detection_kwargs.get("link_threshold", 0.4),
-            detection_kwargs.get("size_threshold", 10),
-            max_components=self.detector.max_components,
-            max_words=self.max_words,
+        packed = np.asarray(
+            self._fused(
+                self.detector.variables,
+                self.recognizer.variables,
+                jnp.asarray(batch),
+                detection_kwargs.get("detection_threshold", 0.7),
+                detection_kwargs.get("text_threshold", 0.4),
+                detection_kwargs.get("link_threshold", 0.4),
+                detection_kwargs.get("size_threshold", 10),
+                max_components=self.detector.max_components,
+                max_words=self.max_words,
+                resize_to=resize_to,
+            )
         )
-        boxes = np.asarray(boxes)
-        mask = np.asarray(mask)
-        decoded = np.asarray(decoded)
+        boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
+        mask = packed[..., 8] > 0.5
+        decoded = packed[..., 9:].astype("int32")
 
         results = []
         for i, scale in enumerate(scales):

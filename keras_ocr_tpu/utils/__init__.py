@@ -1,0 +1,4 @@
+"""Utilities: profiling, tracing, timing."""
+
+from . import profiling
+from .profiling import StageTimer, trace, annotate

@@ -203,3 +203,15 @@ def test_craft_bfloat16_close_to_fp32():
     y16 = np.asarray(model_bf16.apply(variables, x, train=False))
     # bf16 compute should track fp32 within heatmap tolerance.
     assert np.abs(y16 - y32).mean() < 0.05
+
+
+def test_craft_efficientnet_backbone():
+    import jax
+
+    model = CRAFT(backbone_name="efficientnetb0", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 32, 48, 2)
+    # Non-VGG backbones get a sigmoid output head (detection.py:411-412).
+    assert 0 <= float(np.asarray(y).min()) and float(np.asarray(y).max()) <= 1

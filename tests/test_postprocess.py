@@ -144,3 +144,28 @@ def test_axis_aligned_rectangle_box_exact():
     # Scaled x2: blob x-range [16,59] -> box approx [30, 120] wide.
     assert device[0][:, 0].min() == pytest.approx(host[0][:, 0].min(), abs=4)
     assert device[0][:, 1].min() == pytest.approx(host[0][:, 1].min(), abs=4)
+
+
+def test_label_components_snake():
+    # A serpentine component stresses multi-bend convergence.
+    fg = np.zeros((20, 20), bool)
+    fg[2, 2:18] = True
+    fg[2:10, 17] = True
+    fg[9, 3:18] = True
+    fg[9:16, 3] = True
+    fg[15, 3:15] = True
+    ours = np.asarray(cc_ops.label_components(jnp.asarray(fg)))
+    roots = np.unique(ours[fg])
+    assert len(roots) == 1  # single connected snake
+    fg[5, 5] = True  # isolated pixel -> second component
+    ours = np.asarray(cc_ops.label_components(jnp.asarray(fg)))
+    assert len(np.unique(ours[fg])) == 2
+
+
+def test_label_components_diagonal_not_connected():
+    # 4-connectivity: diagonal touching pixels are separate components.
+    fg = np.zeros((8, 8), bool)
+    fg[2, 2] = True
+    fg[3, 3] = True
+    ours = np.asarray(cc_ops.label_components(jnp.asarray(fg)))
+    assert len(np.unique(ours[fg])) == 2
