@@ -242,6 +242,22 @@ class Detector:
             size_threshold=size_threshold,
         )
 
+    def compile(self, optimizer=None, learning_rate: float = 1e-3, mesh=None):
+        """Create (and return) the MSE trainer for this detector.
+
+        API-parity convenience for the reference's
+        ``model.compile(loss='mse', optimizer='adam')`` (detection.py:696).
+        Use ``self.trainer.fit(...)`` afterwards.
+        """
+        import optax
+
+        from .train.detector import DetectorTrainer
+
+        if optimizer is None:
+            optimizer = optax.adam(learning_rate)
+        self.trainer = DetectorTrainer(self, optimizer=optimizer, mesh=mesh)
+        return self.trainer
+
     def get_batch_generator(
         self,
         image_generator,

@@ -153,6 +153,23 @@ class Recognizer:
         predictions = self._predict_strings(X)
         return [predictions[start:end] for start, end in start_end]
 
+    def compile(self, optimizer=None, learning_rate: float = 1e-3, mesh=None):
+        """Create (and return) the CTC trainer for this recognizer.
+
+        API-parity convenience for the reference's
+        ``recognizer.compile()`` + ``training_model.fit`` flow
+        (recognition.py:539-545: RMSprop + identity loss over the
+        ctc_batch_cost output). Use ``self.trainer.fit(...)`` afterwards.
+        """
+        import optax
+
+        from .train.recognizer import RecognizerTrainer
+
+        if optimizer is None:
+            optimizer = optax.rmsprop(learning_rate)
+        self.trainer = RecognizerTrainer(self, optimizer=optimizer, mesh=mesh)
+        return self.trainer
+
     # -- training data -----------------------------------------------------
 
     def get_batch_generator(self, image_generator, batch_size=8, lowercase=False):

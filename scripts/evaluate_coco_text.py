@@ -1,0 +1,90 @@
+"""COCO-Text val-N end-to-end benchmark: precision/recall + latency.
+
+Reproduces the reference's published benchmark protocol
+(/root/reference/README.md:57-73, SURVEY.md §6): first N images of the
+COCO-Text validation set; a prediction is a true positive when IoU >= 0.5
+AND text similarity (1 - editdistance/maxlen) >= 0.5; case and punctuation
+ignored; non-English and illegible annotations marked "ignore"; latency is
+sequential single-image recognize() wall time.
+
+Targets: P/R >= 0.53/0.54 at scale=2 (reference on Tesla P4: 417 ms).
+"""
+
+import argparse
+import json
+import string
+import time
+
+import numpy as np
+
+import keras_ocr_tpu
+from keras_ocr_tpu import datasets, evaluation, tools
+
+
+def build_ground_truth(limit):
+    """{image_id: [{'text', 'vertices', 'ignore'}]} from COCO-Text val."""
+    dataset, (labels, images_dir) = datasets.get_cocotext_recognizer_dataset(
+        split="val", limit=limit, return_raw_labels=True
+    )
+    import os
+
+    true = {}
+    for cocoid in list(labels["imgs"])[:limit]:
+        filepath = os.path.join(images_dir, labels["imgs"][cocoid]["file_name"])
+        anns = []
+        for ann_index in labels["imgToAnns"].get(cocoid, []):
+            ann = labels["anns"][str(ann_index)]
+            vertices = np.array(ann["mask"]).reshape(-1, 2)
+            ignore = (
+                ann["legibility"] != "legible" or ann["language"] != "english"
+            )
+            anns.append(
+                {"text": ann["utf8_string"], "vertices": vertices, "ignore": ignore}
+            )
+        true[filepath] = anns
+    return true
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--limit", type=int, default=1000)
+    parser.add_argument("--scale", type=int, default=2)
+    parser.add_argument("--max-size", type=int, default=2048)
+    parser.add_argument("--output", default="coco_text_results.json")
+    args = parser.parse_args()
+
+    true = build_ground_truth(args.limit)
+    pipeline = keras_ocr_tpu.Pipeline(scale=args.scale, max_size=args.max_size)
+
+    pred = {}
+    latencies = []
+    for filepath in sorted(true):
+        image = tools.read(filepath)
+        start = time.perf_counter()
+        predictions = pipeline.recognize(images=[image])[0]
+        latencies.append(time.perf_counter() - start)
+        pred[filepath] = [
+            {"text": word, "vertices": box} for word, box in predictions
+        ]
+
+    translator = str.maketrans(
+        string.ascii_uppercase, string.ascii_lowercase, string.punctuation
+    )
+    _, (precision, recall) = evaluation.score(
+        true, pred, iou_threshold=0.5, similarity_threshold=0.5, translator=translator
+    )
+    result = {
+        "n_images": len(true),
+        "scale": args.scale,
+        "precision": round(precision, 4),
+        "recall": round(recall, 4),
+        "p50_latency_ms": round(float(np.median(latencies)) * 1000, 2),
+        "mean_latency_ms": round(float(np.mean(latencies)) * 1000, 2),
+    }
+    print(json.dumps(result))
+    with open(args.output, "w", encoding="utf8") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
