@@ -43,7 +43,7 @@ from .cc import compact_labels, label_components
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_components",),
+    static_argnames=("max_components", "refine_angles"),
 )
 def get_boxes(
     heatmaps: jnp.ndarray,
@@ -52,11 +52,17 @@ def get_boxes(
     link_threshold: float = 0.4,
     size_threshold: int = 10,
     max_components: int = 256,
+    refine_angles: int = 0,
 ):
     """Batched heatmaps -> (boxes, mask).
 
     Args:
         heatmaps: (B, H, W, 2) float text/link maps in [0, 1].
+        refine_angles: if > 0, evaluate this many candidate angles around
+            each component's PCA axis (+-12 deg) and keep the one whose
+            (dilation-expanded) bounding rectangle has minimal area —
+            closing the gap to cv2.minAreaRect's exact optimum at the cost
+            of two extra wide segment reductions.
 
     Returns:
         boxes: (B, max_components, 4, 2) float32 corners in input-image
@@ -72,13 +78,46 @@ def get_boxes(
             link_threshold,
             size_threshold,
             max_components,
+            refine_angles,
         )
 
     return jax.vmap(single)(heatmaps)
 
 
+def _refine_theta(theta, xs, ys, seg_ids, max_components, num_segments, num_angles):
+    """Pick the minimum-area rectangle angle from candidates around PCA.
+
+    cv2.minAreaRect's optimum shares a direction with a convex-hull edge;
+    for text blobs that direction sits near the PCA axis, so a +-12 deg
+    sweep recovers it. Both extent reductions are batched into single wide
+    segment calls. (The per-angle dilation expansion varies by <2% inside
+    this window and is ignored for the area comparison.)
+    """
+    offsets = jnp.linspace(-12.0, 12.0, num_angles) * (jnp.pi / 180.0)
+    theta_per_pixel = jnp.concatenate([theta, jnp.zeros((1,))])[
+        jnp.minimum(seg_ids, max_components)
+    ]
+    angles = theta_per_pixel[:, None] + offsets[None, :]  # (N, K)
+    cos_a, sin_a = jnp.cos(angles), jnp.sin(angles)
+    u = xs[:, None] * cos_a + ys[:, None] * sin_a
+    v = -xs[:, None] * sin_a + ys[:, None] * cos_a
+    payload = jnp.concatenate([u, v], axis=1)  # (N, 2K)
+    mins = jax.ops.segment_min(payload, seg_ids, num_segments)[:-1]
+    maxs = jax.ops.segment_max(payload, seg_ids, num_segments)[:-1]
+    num = num_angles
+    area = (maxs[:, :num] - mins[:, :num]) * (maxs[:, num:] - mins[:, num:])
+    best = jnp.argmin(area, axis=1)
+    return theta + offsets[best]
+
+
 def _get_boxes_single(
-    hm, detection_threshold, text_threshold, link_threshold, size_threshold, max_components
+    hm,
+    detection_threshold,
+    text_threshold,
+    link_threshold,
+    size_threshold,
+    max_components,
+    refine_angles=0,
 ):
     height, width = hm.shape[0], hm.shape[1]
     n = height * width
@@ -133,6 +172,11 @@ def _get_boxes_single(
     cyy = syy / n_safe - my * my
     cxy = sxy / n_safe - mx * my
     theta = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
+
+    if refine_angles > 0:
+        theta = _refine_theta(
+            theta, xs, ys, seg_ids, max_components, num_segments, refine_angles
+        )
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
 
     seg_mins = jax.ops.segment_min(jnp.stack([xs, ys], 1), seg_ids, num_segments)[:-1]
