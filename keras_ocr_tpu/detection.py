@@ -24,7 +24,8 @@ from .models.craft import CRAFT
 from .ops import image as image_ops
 from .ops import postprocess as postprocess_ops
 
-PRETRAINED_WEIGHTS = None  # populated lazily from weights registry
+# API parity with the reference module attribute (detection.py:647-658).
+from .weights import DETECTOR_PRETRAINED as PRETRAINED_WEIGHTS  # noqa: E402
 
 
 def compute_input(image):

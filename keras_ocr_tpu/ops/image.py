@@ -51,35 +51,74 @@ def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     matrices are tiny and XLA folds them into the surrounding convs.
     """
     batch, in_h, in_w, channels = x.shape
+    if height == 2 * in_h and width == 2 * in_w:
+        # Integer 2x upscale (the Pipeline's scale=2 hot path): fixed
+        # 0.75/0.25 two-tap kernel, pure VPU elementwise — over an order
+        # of magnitude faster than the general interpolation matmuls.
+        return _upscale2x(x)
     # HIGHEST precision keeps fp32 parity on TPU (the default matmul
-    # precision truncates to bf16); for bf16 activations this is a no-op.
+    # precision truncates to bf16); only meaningful for fp32 inputs.
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
     out = jnp.einsum(
         "oh,bhwc->bowc",
         _interp_matrix(in_h, height, x.dtype),
         x,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     out = jnp.einsum(
         "ow,bhwc->bhoc",
         _interp_matrix(in_w, width, x.dtype),
         out,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     return out
 
 
+def _upscale2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x half-pixel-centers bilinear upsample of an NHWC batch.
+
+    out[2i] = 0.25*in[i-1] + 0.75*in[i]; out[2i+1] = 0.75*in[i] +
+    0.25*in[i+1] (edge-clamped) per axis — identical to the general matrix
+    path for scale 2.
+    """
+    def axis_up(v, axis):
+        lo = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(v, 0, v.shape[axis] - 1, axis=axis)],
+            axis=axis,
+        )
+        hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis),
+             jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)],
+            axis=axis,
+        )
+        even = 0.25 * lo + 0.75 * v
+        odd = 0.75 * v + 0.25 * hi
+        stacked = jnp.stack([even, odd], axis=axis + 1)
+        new_shape = list(v.shape)
+        new_shape[axis] = v.shape[axis] * 2
+        return stacked.reshape(new_shape)
+
+    return axis_up(axis_up(x, 1), 2)
+
+
 def _interp_matrix(in_size: int, out_size: int, dtype) -> jnp.ndarray:
-    """(out_size, in_size) half-pixel-centers bilinear interpolation weights."""
+    """(out_size, in_size) half-pixel-centers bilinear interpolation weights.
+
+    Built scatter-free (dense iota comparisons) so XLA lowers it to cheap
+    fusable vector ops instead of serialized scatters.
+    """
     scale = in_size / out_size
     centers = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
     centers = jnp.clip(centers, 0.0, in_size - 1)
     lo = jnp.floor(centers).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, in_size - 1)
     frac = centers - lo
-    rows = jnp.arange(out_size)
-    mat = jnp.zeros((out_size, in_size), dtype=jnp.float32)
-    mat = mat.at[rows, lo].add(1.0 - frac)
-    mat = mat.at[rows, hi].add(frac)
+    cols = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    mat = jnp.where(cols == lo[:, None], (1.0 - frac)[:, None], 0.0)
+    mat = mat + jnp.where(cols == hi[:, None], frac[:, None], 0.0)
     return mat.astype(dtype)
 
 

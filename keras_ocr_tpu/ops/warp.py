@@ -51,6 +51,35 @@ def order_corners(box: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([tl, tr, br, bl], axis=0)
 
 
+def square_to_quad(quad: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form homography mapping the unit square onto a quad.
+
+    Heckbert's projective-mapping formula: quad rows correspond to unit
+    square corners (0,0), (1,0), (1,1), (0,1). Pure elementwise math — no
+    linear solve — so it batches perfectly on the VPU (TPU LU
+    factorizations are scalar-unit-bound and slow).
+    """
+    x0, x1, x2, x3 = quad[0, 0], quad[1, 0], quad[2, 0], quad[3, 0]
+    y0, y1, y2, y3 = quad[0, 1], quad[1, 1], quad[2, 1], quad[3, 1]
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    dx1 = x1 - x2
+    dx2 = x3 - x2
+    dy1 = y1 - y2
+    dy2 = y3 - y2
+    den = dx1 * dy2 - dx2 * dy1
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    g = (sx * dy2 - sy * dx2) / den
+    h = (dx1 * sy - dy1 * sx) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + h * x3
+    c = x0
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + h * y3
+    f = y0
+    return jnp.array([[a, b, c], [d, e, f], [g, h, 1.0]])
+
+
 def perspective_transform(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """3x3 homography mapping src (4,2) onto dst (4,2) via an 8x8 solve."""
     x, y = src[:, 0], src[:, 1]
@@ -100,22 +129,19 @@ def warp_boxes(
         scale = jnp.minimum(target_width / w, target_height / h)
         sw = scale * w
         sh = scale * h
-        dst = jnp.stack(
-            [
-                jnp.stack([jnp.zeros(()), jnp.zeros(())]),
-                jnp.stack([sw, jnp.zeros(())]),
-                jnp.stack([sw, sh]),
-                jnp.stack([jnp.zeros(()), sh]),
-            ]
-        )
-        # Inverse map: target pixel -> source coords.
-        M_inv = perspective_transform(dst, box)
+        # Inverse map: target pixel -> source coords. The destination is an
+        # axis-aligned [0,sw]x[0,sh] rect, so the inverse homography is the
+        # unit-square->box map composed with a diagonal rescale — no 8x8
+        # solve needed (see square_to_quad).
+        M_inv = square_to_quad(box)
         xs = jnp.arange(target_width, dtype=jnp.float32)
         ys = jnp.arange(target_height, dtype=jnp.float32)
         gx, gy = jnp.meshgrid(xs, ys)
-        denom = M_inv[2, 0] * gx + M_inv[2, 1] * gy + M_inv[2, 2]
-        sx = (M_inv[0, 0] * gx + M_inv[0, 1] * gy + M_inv[0, 2]) / denom
-        sy = (M_inv[1, 0] * gx + M_inv[1, 1] * gy + M_inv[1, 2]) / denom
+        gu = gx / sw
+        gv = gy / sh
+        denom = M_inv[2, 0] * gu + M_inv[2, 1] * gv + M_inv[2, 2]
+        sx = (M_inv[0, 0] * gu + M_inv[0, 1] * gv + M_inv[0, 2]) / denom
+        sy = (M_inv[1, 0] * gu + M_inv[1, 1] * gv + M_inv[1, 2]) / denom
 
         # Bilinear gather with zero padding outside the image.
         x0 = jnp.floor(sx)

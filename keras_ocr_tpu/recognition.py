@@ -27,6 +27,23 @@ from .ops import ctc as ctc_ops
 DEFAULT_ALPHABET = string.digits + string.ascii_lowercase
 
 
+def _build_pretrained_registry():
+    """API parity with recognition.py:27-44's PRETRAINED_WEIGHTS shape."""
+    from . import weights as weights_lib
+
+    registry = {}
+    for name, entry in weights_lib.RECOGNIZER_PRETRAINED.items():
+        registry[name] = {
+            "alphabet": DEFAULT_ALPHABET,
+            "build_params": DEFAULT_BUILD_PARAMS,
+            "weights": entry["weights"],
+        }
+    return registry
+
+
+PRETRAINED_WEIGHTS = _build_pretrained_registry()
+
+
 def rgb_to_grayscale_host(image: np.ndarray) -> np.ndarray:
     """uint8 RGB -> uint8 gray with cv2.cvtColor(RGB2GRAY) rounding."""
     weights = np.array([0.299, 0.587, 0.114])
