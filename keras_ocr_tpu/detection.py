@@ -25,6 +25,7 @@ from .ops import image as image_ops
 from .ops import postprocess as postprocess_ops
 
 # API parity with the reference module attribute (detection.py:647-658).
+from .data.detection_targets import compute_maps  # noqa: F401,E402
 from .weights import DETECTOR_PRETRAINED as PRETRAINED_WEIGHTS  # noqa: E402
 
 

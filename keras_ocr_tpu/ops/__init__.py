@@ -1,0 +1,8 @@
+"""On-device (XLA) kernels: image ops, connected components, heatmap
+post-processing, perspective warps, and CTC."""
+
+from . import cc
+from . import ctc
+from . import image
+from . import postprocess
+from . import warp

@@ -1,17 +1,23 @@
 """Connected-component labeling as a jittable XLA program.
 
 Replaces ``cv2.connectedComponentsWithStats``
-(/root/reference/keras_ocr/detection.py:227-229) with an iterative
-min-label propagation: each foreground pixel starts with its flat index as
-its label; every iteration takes the 4-neighborhood minimum and then
-applies two pointer-jumping steps (``label = min(label, label[label])``,
-a gather on the flattened image) so convergence is O(log diameter)
-instead of O(diameter). Runs under ``lax.while_loop`` with a convergence
-flag and a hard iteration bound, fully vectorized on the VPU.
+(/root/reference/keras_ocr/detection.py:227-229) with iterative min-label
+propagation: each foreground pixel starts with its flat index as its
+label; every sweep propagates the running minimum across entire foreground
+runs of all rows and columns using segmented min-scans (Hillis-Steele
+shift-doubling - contiguous pad/slice/minimum passes).
 
-Component ids are then compacted to ``[0, max_components)`` in raster
-order of their root pixels — the same ordering
-``cv2.connectedComponents`` produces — with a validity mask for overflow.
+Performance notes (measured on TPU v5e behind a deferred-execution
+runtime):
+* a convergence ``while_loop`` host-syncs every iteration (~100ms floor),
+  so the sweep count is STATIC and unrolled on TPU (``lax.scan`` on CPU,
+  where unrolling explodes compile time);
+* ``lax.associative_scan`` lowers ~20x slower than hand-rolled doubling;
+* bool masks force (32,128)->(8,128) tile relayouts against int32 data on
+  every pass, so the hot loop is all-int32 with arithmetic selects;
+* large gathers cost ~80ms per 307k elements on this runtime, so compact
+  component ids are PROPAGATED to pixels with the same sweep machinery
+  instead of looked up through ``order[label]``.
 """
 
 from __future__ import annotations
@@ -22,20 +28,80 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def label_components(fg: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
-    """4-connected component labels for a boolean mask.
+def _shift(arr, distance, axis, reverse, fill):
+    """Bring the element `distance` positions behind (ahead if reverse)."""
+    size = arr.shape[axis]
+    if reverse:
+        sliced = jax.lax.slice_in_dim(arr, distance, size, axis=axis)
+        pad = jnp.full(
+            arr.shape[:axis] + (distance,) + arr.shape[axis + 1 :], fill, arr.dtype
+        )
+        return jnp.concatenate([sliced, pad], axis=axis)
+    sliced = jax.lax.slice_in_dim(arr, 0, size - distance, axis=axis)
+    pad = jnp.full(
+        arr.shape[:axis] + (distance,) + arr.shape[axis + 1 :], fill, arr.dtype
+    )
+    return jnp.concatenate([pad, sliced], axis=axis)
 
-    Each iteration propagates the running minimum across entire foreground
-    runs of every row and column at once (segmented min-scans via
-    ``lax.associative_scan``, O(log W) VPU passes) and then applies two
-    pointer-jumping steps. Straight/convex text blobs converge in one
-    iteration; snake-like shapes need one iteration per bend, bounded by
-    ``max_iters``.
+
+def segmented_min_sweeps(values, barrier, sentinel, num_sweeps):
+    """Propagate per-component minima of ``values`` across a barrier mask.
+
+    Args:
+        values: (H, W) int32; barrier positions must hold ``sentinel``.
+        barrier: (H, W) int32 0/1 (1 = background / propagation barrier).
+        sentinel: value acting as +inf.
+        num_sweeps: static number of row+column propagation sweeps; each
+            sweep resolves one direction change of a component's shape.
+
+    Returns:
+        (H, W) int32: per-component minimum at every non-barrier position,
+        ``sentinel`` at barriers.
+    """
+
+    def segmented_min(v0, axis, reverse):
+        v = v0
+        f = barrier
+        distance = 1
+        size = v0.shape[axis]
+        while distance < size:
+            vs = _shift(v, distance, axis, reverse, sentinel)
+            fs = _shift(f, distance, axis, reverse, 1)
+            v = v + (1 - f) * (jnp.minimum(v, vs) - v)
+            f = jnp.maximum(f, fs)
+            distance *= 2
+        return v
+
+    def run_min(lab, axis):
+        forward = segmented_min(lab, axis, reverse=False)
+        backward = segmented_min(lab, axis, reverse=True)
+        best = jnp.minimum(forward, backward)
+        return best + barrier * (sentinel - best)
+
+    def sweep(lab):
+        return run_min(run_min(lab, axis=1), axis=0)
+
+    if jax.default_backend() == "cpu":
+        # Unrolling explodes XLA:CPU compile time; a static-length scan is
+        # compile-cheap and still avoids data-dependent predicates.
+        out, _ = jax.lax.scan(
+            lambda lab, _: (sweep(lab), None), values, None, length=num_sweeps
+        )
+        return out
+    for _ in range(num_sweeps):
+        values = sweep(values)
+    return values
+
+
+@functools.partial(jax.jit, static_argnames=("num_sweeps",))
+def label_components(fg: jnp.ndarray, num_sweeps: int = 8) -> jnp.ndarray:
+    """4-connected component labels for a boolean mask.
 
     Args:
         fg: (H, W) bool foreground mask.
-        max_iters: safety bound on propagation iterations.
+        num_sweeps: static number of propagation sweeps; 8 handles shapes
+            with up to 8 direction changes (far beyond real text blobs,
+            which converge in 1-2). Raise for pathological masks.
 
     Returns:
         (H, W) int32 array: for foreground pixels, the flat index of the
@@ -45,50 +111,19 @@ def label_components(fg: jnp.ndarray, max_iters: int = 64) -> jnp.ndarray:
     sentinel = height * width
     idx = jnp.arange(sentinel, dtype=jnp.int32).reshape(height, width)
     label = jnp.where(fg, idx, sentinel)
-    barrier = ~fg
-
-    def segmented_min(values, axis, reverse):
-        # Min over the contiguous foreground run ending at each position.
-        def combine(left, right):
-            v1, f1 = left
-            v2, f2 = right
-            return jnp.where(f2, v2, jnp.minimum(v1, v2)), f1 | f2
-
-        out, _ = jax.lax.associative_scan(
-            combine, (values, barrier), axis=axis, reverse=reverse
-        )
-        return out
-
-    def run_min(lab, axis):
-        forward = segmented_min(lab, axis, reverse=False)
-        backward = segmented_min(lab, axis, reverse=True)
-        return jnp.where(fg, jnp.minimum(forward, backward), sentinel)
-
-    def pointer_jump(flat):
-        # flat[p] indexes another pixel in the same component; chase it.
-        padded = jnp.concatenate([flat, jnp.array([sentinel], flat.dtype)])
-        jumped = padded[jnp.minimum(flat, sentinel)]
-        return jnp.where(flat < sentinel, jnp.minimum(flat, jumped), flat)
-
-    def body(state):
-        lab, _, it = state
-        new = run_min(run_min(lab, axis=1), axis=0)
-        flat = new.reshape(-1)
-        flat = pointer_jump(pointer_jump(flat))
-        new = flat.reshape(height, width)
-        return new, jnp.any(new != lab), it + 1
-
-    def cond(state):
-        _, changed, it = state
-        return changed & (it < max_iters)
-
-    label, _, _ = jax.lax.while_loop(cond, body, (label, jnp.bool_(True), 0))
-    return label
+    barrier = (~fg).astype(jnp.int32)
+    return segmented_min_sweeps(label, barrier, sentinel, num_sweeps)
 
 
-@functools.partial(jax.jit, static_argnames=("max_components",))
-def compact_labels(label: jnp.ndarray, max_components: int):
+@functools.partial(jax.jit, static_argnames=("max_components", "num_sweeps"))
+def compact_labels(label: jnp.ndarray, max_components: int, num_sweeps: int = 8):
     """Compact root labels to dense component ids in raster order.
+
+    Gather-free: the compact id is written at each component's root pixel
+    (a cumsum over the root indicator) and then PROPAGATED to the rest of
+    the component with the same segmented min-sweeps used for labeling -
+    a 307k-element table gather costs ~80ms on this runtime, the sweeps
+    ~8ms.
 
     Args:
         label: output of :func:`label_components`, (H, W) int32.
@@ -103,11 +138,14 @@ def compact_labels(label: jnp.ndarray, max_components: int):
     sentinel = height * width
     flat = label.reshape(-1)
     idx = jnp.arange(sentinel, dtype=jnp.int32)
-    is_root = flat == idx
-    order = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # compact id at root pixels
-    padded = jnp.concatenate([order, jnp.array([max_components], jnp.int32)])
-    comp = padded[jnp.minimum(flat, sentinel)]
+    is_root = (flat == idx).astype(jnp.int32)
+    order = jnp.cumsum(is_root) - 1  # compact id at root pixels
+    fg_int = (flat < sentinel).astype(jnp.int32).reshape(height, width)
+    barrier = 1 - fg_int
+    seeded = (is_root * order + (1 - is_root) * sentinel).reshape(height, width)
+    seeded = seeded + barrier * (sentinel - seeded)
+    comp = segmented_min_sweeps(seeded, barrier, sentinel, num_sweeps)
     comp = jnp.where(
-        (flat < sentinel) & (comp < max_components), comp, max_components
+        fg_int.astype(bool) & (comp < max_components), comp, max_components
     )
-    return comp.reshape(height, width), is_root.sum().astype(jnp.int32)
+    return comp, is_root.sum().astype(jnp.int32)

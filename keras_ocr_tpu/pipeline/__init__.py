@@ -108,14 +108,20 @@ class Pipeline:
         boxes_c = jnp.take_along_axis(boxes, order[..., None, None], axis=1)
         mask_c = jnp.take_along_axis(mask, order, axis=1)
 
-        # Grayscale with uint8 rounding to match the reference's host
-        # cvtColor-then-warp order (recognition.py:508-510).
-        gray = jnp.rint(jnp.clip(rgb_to_grayscale(images), 0, 255))
-        height, width, _ = self.recognizer.input_shape
-        crops = warp_boxes_batch(
-            gray, boxes_c, target_height=height, target_width=width
-        )  # (B, W, h, w)
-        crops = (crops / 255.0)[..., None]
+        height, width, channels = self.recognizer.input_shape
+        if channels == 1:
+            # Grayscale with uint8 rounding to match the reference's host
+            # cvtColor-then-warp order (recognition.py:508-510).
+            source = jnp.rint(jnp.clip(rgb_to_grayscale(images), 0, 255))
+            crops = warp_boxes_batch(
+                source, boxes_c, target_height=height, target_width=width
+            )  # (B, W, h, w)
+            crops = (crops / 255.0)[..., None]
+        else:
+            crops = warp_boxes_batch(
+                images, boxes_c, target_height=height, target_width=width
+            )  # (B, W, h, w, 3)
+            crops = crops / 255.0
         batch, words = crops.shape[0], crops.shape[1]
         probs = self.recognizer.model.apply(
             rec_variables, crops.reshape((batch * words,) + crops.shape[2:]), train=False

@@ -44,6 +44,41 @@ def _build_pretrained_registry():
 PRETRAINED_WEIGHTS = _build_pretrained_registry()
 
 
+def build_model(
+    alphabet: str,
+    height: int = 31,
+    width: int = 200,
+    color: bool = False,
+    filters=(64, 128, 256, 256, 512, 512, 512),
+    rnn_units=(128, 128),
+    dropout: float = 0.25,
+    rnn_steps_to_discard: int = 2,
+    pool_size: int = 2,
+    stn: bool = True,
+) -> CRNN:
+    """Build the CRNN graph (parity with recognition.py:187-350).
+
+    The reference returns four Keras models sharing weights (backbone,
+    model, training_model, prediction_model); in Flax one module subsumes
+    all four — ``apply`` gives softmax probabilities (``model``), the
+    training loss/greedy decode are separate jittable ops
+    (:mod:`keras_ocr_tpu.ops.ctc`), and backbone-only weight loading is a
+    parameter-tree operation (:func:`keras_ocr_tpu.weights.crnn_variables_from_h5`).
+    """
+    return CRNN(
+        alphabet_size=len(alphabet),
+        height=height,
+        width=width,
+        color=color,
+        filters=tuple(filters),
+        rnn_units=tuple(rnn_units),
+        dropout=dropout,
+        rnn_steps_to_discard=rnn_steps_to_discard,
+        pool_size=pool_size,
+        stn=stn,
+    )
+
+
 def rgb_to_grayscale_host(image: np.ndarray) -> np.ndarray:
     """uint8 RGB -> uint8 gray with cv2.cvtColor(RGB2GRAY) rounding."""
     weights = np.array([0.299, 0.587, 0.114])

@@ -216,3 +216,14 @@ def test_crnn_dropout_train_mode():
         mutable=["batch_stats"],
     )[0]
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_build_model_parity_alias():
+    """recognition.build_model mirrors the reference graph builder
+
+    (/root/reference/keras_ocr/recognition.py:187-350)."""
+    from keras_ocr_tpu import recognition
+
+    model = recognition.build_model("abc", height=31, width=200, stn=False)
+    assert model.alphabet_size == 3
+    assert model.stn is False

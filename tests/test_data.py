@@ -221,3 +221,11 @@ def test_recognizer_image_generator(tmp_path):
     assert crop.shape == (31, 200, 3)
     assert text == "hello".replace("h", "h")  # filtered to alphabet
     assert all(c in "helo" for c in text)
+
+
+def test_detection_compute_maps_alias():
+    """detection.compute_maps mirrors /root/reference/keras_ocr/detection.py:106."""
+    from keras_ocr_tpu import detection
+    from keras_ocr_tpu.data import detection_targets
+
+    assert detection.compute_maps is detection_targets.compute_maps

@@ -83,3 +83,35 @@ def test_pipeline_golden_eventdock():
     predictions = pipeline.recognize(images=[image])[0]
     assert len(predictions) == 1
     assert predictions[0][0] == "eventdock"
+
+
+def test_pipeline_color_recognizer():
+    """color=True build params: crops stay RGB through the fused path."""
+    import string
+
+    build_params = dict(keras_ocr_tpu.recognition.DEFAULT_BUILD_PARAMS)
+    build_params["color"] = True
+    recognizer = Recognizer(
+        weights=None,
+        alphabet=string.digits + string.ascii_lowercase,
+        build_params=build_params,
+    )
+    detector = Detector(weights=None, max_components=16)
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector, recognizer=recognizer, scale=2, max_words=8
+    )
+    image = np.zeros((64, 96, 3), dtype="uint8")
+    image[20:40, 10:80] = [200, 30, 30]
+    predictions = pipeline.recognize(
+        images=[image],
+        detection_kwargs={
+            "detection_threshold": -10.0,
+            "text_threshold": -10.0,
+            "link_threshold": 10.0,
+            "size_threshold": 1,
+        },
+    )[0]
+    assert len(predictions) >= 1
+    for word, box in predictions:
+        assert isinstance(word, str)
+        assert box.shape == (4, 2)

@@ -172,19 +172,21 @@ def test_label_components_diagonal_not_connected():
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_refined_angles_improve_or_match_oracle_iou(seed):
+def test_finer_angle_bank_improves_or_matches_oracle_iou(seed):
     rng = np.random.RandomState(seed)
     hm = _synthetic_heatmap(rng)
     host = detection.getBoxes(hm[None])[0]
     b0, m0 = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=64)
     base = detection.boxes_from_mask(b0, m0)[0]
     b1, m1 = postprocess_ops.get_boxes(
-        jnp.asarray(hm[None]), max_components=64, refine_angles=9
+        jnp.asarray(hm[None]), max_components=64, num_angles=45
     )
     refined = detection.boxes_from_mask(b1, m1)[0]
     assert len(refined) == len(host)
     base_iou = np.mean(_match_boxes(base, host))
     refined_iou = np.mean(_match_boxes(refined, host))
-    # Angle refinement should not hurt, and typically helps.
-    assert refined_iou >= base_iou - 0.02
-    assert refined_iou > 0.82
+    # Both bank resolutions must track the exact oracle closely. (Finer is
+    # not strictly monotone: the analytic dilation expansion can move the
+    # argmin angle slightly relative to the oracle's pixel-exact fit.)
+    assert base_iou > 0.9
+    assert refined_iou > 0.9
