@@ -23,6 +23,7 @@ from __future__ import annotations
 import typing
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -99,9 +100,20 @@ def crnn_param_sharding(mesh: Mesh):
 
 def shard_params(variables, mesh: Mesh, rules=None):
     """Device_put a variable tree according to sharding rules (default:
-    replicate everything; pass :func:`crnn_param_sharding` for TP)."""
+    replicate everything; pass :func:`crnn_param_sharding` for TP).
+
+    Always returns fresh buffers: when the sharding already matches,
+    ``device_put`` returns an array that shares the underlying buffer.
+    Trainers donate these buffers into their jitted step, and donating an
+    alias of the caller's model variables would delete them out from under
+    the model (one-time copy cost at trainer init, ≤80 MB here).
+    """
+
+    def put(x, sharding):
+        return jax.device_put(jnp.array(x, copy=True), sharding)
+
     if rules is None:
         sharding = replicated(mesh)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), variables)
+        return jax.tree.map(lambda x: put(x, sharding), variables)
     specs = rules(variables)
-    return jax.tree.map(jax.device_put, variables, specs)
+    return jax.tree.map(put, variables, specs)
