@@ -2,6 +2,7 @@
 post-processing, perspective warps, and CTC."""
 
 from . import cc
+from . import cc_pallas
 from . import ctc
 from . import image
 from . import postprocess
