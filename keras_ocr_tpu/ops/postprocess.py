@@ -8,11 +8,16 @@ one fixed-shape jitted program so it fuses with the CRAFT forward pass:
 
 * threshold / combine: elementwise ``>`` (detection.py:221-226),
 * connected components: :mod:`keras_ocr_tpu.ops.cc` label propagation,
-* per-component areas: fused one-hot compare+reduce (XLA scatter-add costs
-  ~90ms per 307k updates on the target runtime; the fused broadcast
-  reduction streams in ~1ms),
-* per-component extents: FOUR batched segment min/max reductions
-  (scatter-min/max lower efficiently, unlike scatter-add),
+* per-component statistics: ALL reductions are fused one-hot
+  compare+masked-reduce over per-ROW staircase tables — XLA:TPU lowers
+  ``segment_min/max`` scatters to a per-row serialized loop costing ~6 ms
+  per 307k-row scatter (regardless of payload width), while the
+  broadcast-compare reduction streams the same reduction in ~0.3 ms. The
+  angle-bank extents then need only the per-(row, component) min/max
+  column tables: every bank projection ``x cos a + y sin a`` with
+  ``a in [0, 90)`` is monotonic in x within a row, so row extrema occur at
+  the staircase points and the (rows x components x angles) reduction is
+  ~300x smaller than per-pixel projection,
 * size / confidence filters as masks (detection.py:233-241),
 * the per-component dilation with a ``(1+niter)`` square kernel
   (detection.py:258-264) is applied *analytically*: extents of the
@@ -88,10 +93,39 @@ def get_boxes(
     return jax.vmap(single)(heatmaps)
 
 
-def _segment_count(ids, num_segments):
-    """Per-segment element counts via fused one-hot compare + reduce."""
-    iota = jnp.arange(num_segments, dtype=ids.dtype)
-    return (ids[:, None] == iota[None, :]).astype(jnp.float32).sum(axis=0)
+_BIG = jnp.float32(1e30)
+
+
+def _row_tables(ids2d, num_segments, extras=()):
+    """Per-(row, segment) staircase tables via one-hot masked reduces.
+
+    Args:
+        ids2d: (H, W) int32 segment id per pixel.
+        num_segments: static segment count S.
+        extras: additional (H, W) float maps to row-max per segment.
+
+    Returns:
+        count: (H, S) float32 per-row pixel counts,
+        xmin, xmax: (H, S) float32 per-row column extents (+-_BIG if absent),
+        extra_maxs: list of (H, S) row-maxima for each extra map.
+    """
+    height, width = ids2d.shape
+    iota = jnp.arange(num_segments, dtype=ids2d.dtype)
+    onehot = ids2d[:, :, None] == iota  # (H, W, S); fused into each reduce
+    cols = jnp.arange(width, dtype=jnp.float32)[None, :, None]
+    count = jnp.sum(onehot, axis=1, dtype=jnp.float32)
+    xmax = jnp.max(jnp.where(onehot, cols, -_BIG), axis=1)
+    xmin = jnp.min(jnp.where(onehot, cols, _BIG), axis=1)
+    extra_maxs = [
+        jnp.max(jnp.where(onehot, extra[:, :, None], -_BIG), axis=1)
+        for extra in extras
+    ]
+    return count, xmin, xmax, extra_maxs
+
+
+def _row_reduce(present, values, reducer, fill):
+    """Reduce (H, S) row ``values`` over rows, masked by ``present``."""
+    return reducer(jnp.where(present, values, fill), axis=0)
 
 
 def _get_boxes_single(
@@ -114,26 +148,31 @@ def _get_boxes_single(
 
     label = label_components(fg)
     comp, _ = compact_labels(label, max_components)
-    ids = comp.reshape(-1)
-
-    xs = jnp.tile(jnp.arange(width, dtype=jnp.float32), height)
-    ys = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
 
     # Segment ids for the overlap-removed segmap (detection.py:244-246).
-    overlap = (link_score & text_score).reshape(-1)
-    seg_ids = jnp.where(overlap, max_components, ids)
+    overlap = link_score & text_score
+    seg2d = jnp.where(overlap, max_components, comp)
+
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+
+    # ---- per-row staircase tables (the only O(H*W*S) reductions) ----
+    cnt_full_r, xmin_full_r, xmax_full_r, (tmax_r,) = _row_tables(
+        comp, num_segments, extras=(textmap,)
+    )
+    cnt_seg_r, xmin_seg_r, xmax_seg_r, _ = _row_tables(seg2d, num_segments)
+    present_full = cnt_full_r > 0  # (H, S)
+    present_seg = cnt_seg_r > 0
 
     # ---- areas (filters + dilation radius) ----
-    area = _segment_count(ids, num_segments)[:-1]
-    n_seg = _segment_count(seg_ids, num_segments)[:-1]
+    area = cnt_full_r.sum(axis=0)[:-1]
+    n_seg = cnt_seg_r.sum(axis=0)[:-1]
 
     # ---- full-component extents + peak text confidence ----
-    full_max = jax.ops.segment_max(
-        jnp.stack([xs, ys, textmap.reshape(-1)], 1), ids, num_segments
-    )[:-1]
-    full_min = jax.ops.segment_min(jnp.stack([xs, ys], 1), ids, num_segments)[:-1]
-    xmin, ymin = full_min[:, 0], full_min[:, 1]
-    xmax, ymax, tmax = full_max[:, 0], full_max[:, 1], full_max[:, 2]
+    xmin = xmin_full_r.min(axis=0)[:-1]
+    xmax = xmax_full_r.max(axis=0)[:-1]
+    ymin = _row_reduce(present_full, rows, jnp.min, _BIG)[:-1]
+    ymax = _row_reduce(present_full, rows, jnp.max, -_BIG)[:-1]
+    tmax = tmax_r.max(axis=0)[:-1]
     bw = xmax - xmin + 1.0
     bh = ymax - ymin + 1.0
     valid = (area >= size_threshold) & (tmax >= detection_threshold)
@@ -148,22 +187,28 @@ def _get_boxes_single(
     b = k - 1.0 - a
 
     # ---- segmap extents along the static angle bank ----
+    # For a in [0, 90): cos a >= 0 and sin a >= 0, so within one row
+    # u = x cos a + y sin a is non-decreasing in x and v = -x sin a + y cos a
+    # is non-increasing in x: row extrema sit at the per-row column extents,
+    # so only the (H, S) staircase tables enter the (H, S, K) reduction.
     alphas = jnp.arange(num_angles, dtype=jnp.float32) * (jnp.pi / 2.0 / num_angles)
-    cos_a = jnp.cos(alphas)  # (K,)
-    sin_a = jnp.sin(alphas)
-    proj_u = xs[:, None] * cos_a[None, :] + ys[:, None] * sin_a[None, :]  # (N, K)
-    proj_v = -xs[:, None] * sin_a[None, :] + ys[:, None] * cos_a[None, :]
-    payload = jnp.concatenate(
-        [jnp.stack([xs, ys], 1), proj_u, proj_v], axis=1
-    )  # (N, 2 + 2K)
-    seg_min = jax.ops.segment_min(payload, seg_ids, num_segments)[:-1]
-    seg_max = jax.ops.segment_max(payload, seg_ids, num_segments)[:-1]
-    sxmin, symin = seg_min[:, 0], seg_min[:, 1]
-    sxmax, symax = seg_max[:, 0], seg_max[:, 1]
-    umin = seg_min[:, 2 : 2 + num_angles]  # (C, K)
-    vmin = seg_min[:, 2 + num_angles :]
-    umax = seg_max[:, 2 : 2 + num_angles]
-    vmax = seg_max[:, 2 + num_angles :]
+    cos_k = jnp.cos(alphas)  # (K,)
+    sin_k = jnp.sin(alphas)
+    cos_a = cos_k[None, None, :]  # (1, 1, K)
+    sin_a = sin_k[None, None, :]
+    sxmin = xmin_seg_r.min(axis=0)[:-1]
+    sxmax = xmax_seg_r.max(axis=0)[:-1]
+    symin = _row_reduce(present_seg, rows, jnp.min, _BIG)[:-1]
+    symax = _row_reduce(present_seg, rows, jnp.max, -_BIG)[:-1]
+
+    p3 = present_seg[:, :, None]  # (H, S, 1)
+    xlo = xmin_seg_r[:, :, None]
+    xhi = xmax_seg_r[:, :, None]
+    y3 = rows[:, :, None]
+    umax = jnp.max(jnp.where(p3, xhi * cos_a + y3 * sin_a, -_BIG), axis=0)[:-1]
+    umin = jnp.min(jnp.where(p3, xlo * cos_a + y3 * sin_a, _BIG), axis=0)[:-1]
+    vmax = jnp.max(jnp.where(p3, -xlo * sin_a + y3 * cos_a, -_BIG), axis=0)[:-1]
+    vmin = jnp.min(jnp.where(p3, -xhi * sin_a + y3 * cos_a, _BIG), axis=0)[:-1]
 
     # Analytic Minkowski expansion by the kernel's offsets [-b, a]^2:
     # support of the square along each bank direction, per component.
@@ -180,8 +225,8 @@ def _get_boxes_single(
         )
         return corners.max(0), corners.min(0)
 
-    du_max, du_min = support(cos_a[None, :], sin_a[None, :])
-    dv_max, dv_min = support(-sin_a[None, :], cos_a[None, :])
+    du_max, du_min = support(cos_k[None, :], sin_k[None, :])
+    dv_max, dv_min = support(-sin_k[None, :], cos_k[None, :])
     umax = umax + du_max
     umin = umin + du_min
     vmax = vmax + dv_max
@@ -197,8 +242,8 @@ def _get_boxes_single(
 
     umin_b, umax_b = pick(umin), pick(umax)
     vmin_b, vmax_b = pick(vmin), pick(vmax)
-    cos_t = cos_a[best]
-    sin_t = sin_a[best]
+    cos_t = cos_k[best]
+    sin_t = sin_k[best]
     rw = umax_b - umin_b
     rh = vmax_b - vmin_b
 
