@@ -7,17 +7,20 @@ label; every sweep propagates the running minimum across entire foreground
 runs of all rows and columns using segmented min-scans (Hillis-Steele
 shift-doubling - contiguous pad/slice/minimum passes).
 
-Performance notes (measured on TPU v5e behind a deferred-execution
-runtime):
-* a convergence ``while_loop`` host-syncs every iteration (~100ms floor),
-  so the sweep count is STATIC and unrolled on TPU (``lax.scan`` on CPU,
-  where unrolling explodes compile time);
-* ``lax.associative_scan`` lowers ~20x slower than hand-rolled doubling;
+Performance notes (measured on TPU v5e; amortized over a 32-deep on-device
+chain so the tunneled runtime's ~27ms RPC floor divides out):
+* 8 full sweeps cost ~0.25ms at 640x480 — a hand-written Pallas kernel
+  (:mod:`keras_ocr_tpu.ops.cc_pallas`) ties it, so the XLA lowering is
+  already VMEM-resident and well-fused;
+* a convergence ``while_loop`` host-syncs every iteration on the deferred
+  runtime, so the sweep count is STATIC and unrolled on TPU (``lax.scan``
+  on CPU, where unrolling explodes compile time);
+* ``lax.associative_scan`` lowers far slower than hand-rolled doubling;
 * bool masks force (32,128)->(8,128) tile relayouts against int32 data on
   every pass, so the hot loop is all-int32 with arithmetic selects;
-* large gathers cost ~80ms per 307k elements on this runtime, so compact
-  component ids are PROPAGATED to pixels with the same sweep machinery
-  instead of looked up through ``order[label]``.
+* XLA:TPU lowers gathers with fully dynamic indices to serialized loops,
+  so compact component ids are PROPAGATED to pixels with the same sweep
+  machinery instead of looked up through ``order[label]``.
 """
 
 from __future__ import annotations
@@ -121,9 +124,9 @@ def compact_labels(label: jnp.ndarray, max_components: int, num_sweeps: int = 8)
 
     Gather-free: the compact id is written at each component's root pixel
     (a cumsum over the root indicator) and then PROPAGATED to the rest of
-    the component with the same segmented min-sweeps used for labeling -
-    a 307k-element table gather costs ~80ms on this runtime, the sweeps
-    ~8ms.
+    the component with the same segmented min-sweeps used for labeling —
+    XLA:TPU serializes dynamically-indexed table gathers, while the
+    sweeps stream on the VPU (~0.25ms per 8 sweeps at 640x480).
 
     Args:
         label: output of :func:`label_components`, (H, W) int32.

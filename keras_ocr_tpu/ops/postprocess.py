@@ -27,7 +27,8 @@ one fixed-shape jitted program so it fuses with the CRAFT forward pass:
   ``num_angles`` directions spanning [0, 90) deg and the angle minimizing
   the (dilation-expanded) rectangle area wins — the same objective
   ``cv2.minAreaRect`` optimizes, discretized; a fixed bank needs no
-  per-pixel angle gathers (~80ms each on the target runtime),
+  per-pixel angle gathers (XLA:TPU serializes dynamically-indexed
+  gathers),
 * the "diamond" fallback to the axis-aligned bounding box when the
   rectangle is nearly square (detection.py:276-281) is reproduced
   *exactly* (the dilated set's bbox is the segmap bbox expanded by the
