@@ -56,6 +56,7 @@ class Pipeline:
         max_size: int = 2048,
         max_words: int = 64,
         size_bucket: int = 32,
+        mesh=None,
     ):
         if detector is None:
             detector = Detector()
@@ -67,6 +68,22 @@ class Pipeline:
         self.max_size = max_size
         self.max_words = max_words
         self.size_bucket = size_bucket
+        # Optional data-parallel inference: shard the image batch over the
+        # mesh's ``data`` axis, params replicated — the SURVEY §2c
+        # inference scale-out design. XLA partitions the fused program
+        # from the input shardings alone.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            self._batch_sharding = mesh_lib.batch_sharding(mesh)
+            replicated = mesh_lib.replicated(mesh)
+            self.detector.variables = jax.device_put(
+                self.detector.variables, replicated
+            )
+            self.recognizer.variables = jax.device_put(
+                self.recognizer.variables, replicated
+            )
         self._fused = jax.jit(
             self._device_pipeline,
             static_argnames=("max_components", "max_words", "resize_to"),
@@ -196,11 +213,24 @@ class Pipeline:
             )
             resize_to = None
 
+        num_real = len(batch)
+        if self.mesh is not None:
+            # Pad the batch to a multiple of the data axis and shard it;
+            # every chip runs the fused program on its local shard.
+            data_size = self.mesh.shape["data"]
+            pad_rows = -num_real % data_size
+            if pad_rows:
+                batch = np.concatenate(
+                    [batch, np.zeros((pad_rows,) + batch.shape[1:], batch.dtype)]
+                )
+            device_batch = jax.device_put(batch, self._batch_sharding)
+        else:
+            device_batch = jnp.asarray(batch)
         packed = np.asarray(
             self._fused(
                 self.detector.variables,
                 self.recognizer.variables,
-                jnp.asarray(batch),
+                device_batch,
                 detection_kwargs.get("detection_threshold", 0.7),
                 detection_kwargs.get("text_threshold", 0.4),
                 detection_kwargs.get("link_threshold", 0.4),
@@ -209,7 +239,7 @@ class Pipeline:
                 max_words=self.max_words,
                 resize_to=resize_to,
             )
-        )
+        )[:num_real]
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
         decoded = packed[..., 9:].astype("int32")

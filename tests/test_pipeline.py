@@ -115,3 +115,45 @@ def test_pipeline_color_recognizer():
     for word, box in predictions:
         assert isinstance(word, str)
         assert box.shape == (4, 2)
+
+
+def test_pipeline_mesh_sharded_batch():
+    """SURVEY §2c inference scale-out: batch sharded over the data axis
+
+    matches the unsharded pipeline exactly (including a batch that does
+    not divide the mesh, via padding)."""
+    import string
+
+    import jax
+
+    from keras_ocr_tpu.parallel import mesh as mesh_lib
+
+    detector = Detector(weights=None, max_components=16)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    kwargs = dict(detector=detector, recognizer=recognizer, scale=2, max_words=8)
+    plain = keras_ocr_tpu.Pipeline(**kwargs)
+    sharded = keras_ocr_tpu.Pipeline(
+        mesh=mesh_lib.create_mesh(shape=(len(jax.devices()), 1)), **kwargs
+    )
+    rng = np.random.RandomState(0)
+    images = []
+    for _ in range(3):  # 3 does not divide 8 -> exercises padding
+        image = np.zeros((64, 96, 3), dtype="uint8")
+        x, y = rng.randint(0, 40), rng.randint(0, 30)
+        image[y : y + 20, x : x + 50] = 255
+        images.append(image)
+    detection_kwargs = {
+        "detection_threshold": -10.0,
+        "text_threshold": -10.0,
+        "link_threshold": 10.0,
+        "size_threshold": 1,
+    }
+    a = plain.recognize(images=images, detection_kwargs=detection_kwargs)
+    b = sharded.recognize(images=images, detection_kwargs=detection_kwargs)
+    assert len(a) == len(b) == 3
+    for pa, pb in zip(a, b):
+        assert [w for w, _ in pa] == [w for w, _ in pb]
+        for (_, ba), (_, bb) in zip(pa, pb):
+            np.testing.assert_allclose(ba, bb, atol=1e-4)
