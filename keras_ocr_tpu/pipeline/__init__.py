@@ -46,6 +46,13 @@ class Pipeline:
         max_words: Static per-image cap on recognized words (device path).
         size_bucket: Pad image sides up to multiples of this to bound
             recompilation.
+        pad_to: Optional static (height, width) every batch is padded to
+            (pre-scale). One shape = ONE compile — use for mixed-size
+            workloads (e.g. the COCO-Text eval sweep) where per-bucket
+            compilation would dominate.
+        mesh: Optional jax.sharding.Mesh; shards the image batch over the
+            mesh's ``data`` axis (params replicated) for multi-chip
+            batched inference.
     """
 
     def __init__(
@@ -56,6 +63,7 @@ class Pipeline:
         max_size: int = 2048,
         max_words: int = 64,
         size_bucket: int = 32,
+        pad_to: typing.Optional[typing.Tuple[int, int]] = None,
         mesh=None,
     ):
         if detector is None:
@@ -68,6 +76,7 @@ class Pipeline:
         self.max_size = max_size
         self.max_words = max_words
         self.size_bucket = size_bucket
+        self.pad_to = pad_to
         # Optional data-parallel inference: shard the image batch over the
         # mesh's ``data`` axis, params replicated — the SURVEY §2c
         # inference scale-out design. XLA partitions the fused program
@@ -184,6 +193,12 @@ class Pipeline:
             scale = int(scales[0])
             max_height = max(image.shape[0] for image in images)
             max_width = max(image.shape[1] for image in images)
+            if self.pad_to is not None:
+                assert self.pad_to[0] >= max_height and self.pad_to[1] >= max_width, (
+                    f"pad_to {self.pad_to} smaller than batch extent "
+                    f"({max_height}, {max_width})"
+                )
+                max_height, max_width = self.pad_to
             max_height = -(-max_height // bucket) * bucket
             max_width = -(-max_width // bucket) * bucket
             batch = np.array(
@@ -202,6 +217,15 @@ class Pipeline:
             scales = [scale for _, scale in resized]
             max_height = max(image.shape[0] for image, _ in resized)
             max_width = max(image.shape[1] for image, _ in resized)
+            if self.pad_to is not None:
+                # Post-resize space: pad to pad_to x the nominal scale.
+                target_h = self.pad_to[0] * self.scale
+                target_w = self.pad_to[1] * self.scale
+                assert target_h >= max_height and target_w >= max_width, (
+                    f"pad_to {self.pad_to} (x{self.scale}) smaller than "
+                    f"resized batch extent ({max_height}, {max_width})"
+                )
+                max_height, max_width = target_h, target_w
             max_height = -(-max_height // bucket) * bucket
             max_width = -(-max_width // bucket) * bucket
             batch = np.array(

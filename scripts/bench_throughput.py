@@ -1,0 +1,80 @@
+"""Batched throughput benchmark: images/sec/chip at scale=2.
+
+Complements bench.py (sequential single-image p50 latency — the
+reference's protocol) with the serving-oriented metric from BASELINE.md:
+batched images/sec on one chip. The batch amortizes the tunneled
+runtime's per-call RPC floor; on local chips it amortizes dispatch.
+
+Run: python scripts/bench_throughput.py [--batch-size 8] [--iters 6]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=6)
+    args = parser.parse_args()
+
+    import jax.numpy as jnp
+
+    from keras_ocr_tpu.detection import Detector
+    from keras_ocr_tpu.recognition import Recognizer
+    from keras_ocr_tpu.pipeline import Pipeline
+
+    try:
+        detector = Detector(compute_dtype=jnp.bfloat16)
+        recognizer = Recognizer(compute_dtype=jnp.bfloat16)
+    except Exception:  # no network/cache: random weights, identical compute
+        import string
+
+        detector = Detector(weights=None, compute_dtype=jnp.bfloat16)
+        recognizer = Recognizer(
+            weights=None,
+            alphabet=string.digits + string.ascii_lowercase,
+            compute_dtype=jnp.bfloat16,
+        )
+    pipeline = Pipeline(detector=detector, recognizer=recognizer, scale=2)
+
+    rng = np.random.RandomState(0)
+    batches = []
+    for _ in range(2):
+        images = []
+        for _ in range(args.batch_size):
+            image = rng.randint(0, 255, size=(480, 640, 3), dtype="uint8")
+            for _ in range(12):
+                x, y = rng.randint(0, 560), rng.randint(0, 440)
+                w, h = rng.randint(30, 80), rng.randint(8, 20)
+                image[y : y + h, x : x + w] = rng.randint(0, 60)
+            images.append(image)
+        batches.append(images)
+
+    pipeline.recognize(images=batches[0])  # warmup/compile
+
+    times = []
+    for i in range(args.iters):
+        start = time.perf_counter()
+        pipeline.recognize(images=batches[i % 2])
+        times.append(time.perf_counter() - start)
+    p50 = float(np.median(times))
+    print(
+        json.dumps(
+            {
+                "metric": "throughput_scale2_640x480",
+                "value": round(args.batch_size / p50, 2),
+                "unit": "images/sec/chip",
+                "batch_size": args.batch_size,
+                "p50_batch_ms": round(p50 * 1000, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

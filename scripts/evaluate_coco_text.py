@@ -54,12 +54,19 @@ def main():
     args = parser.parse_args()
 
     true = build_ground_truth(args.limit)
-    pipeline = keras_ocr_tpu.Pipeline(scale=args.scale, max_size=args.max_size)
+    # One static padded shape across the whole sweep: COCO images come in
+    # many sizes and per-shape XLA compilation would otherwise dominate.
+    images = {filepath: tools.read(filepath) for filepath in true}
+    pad_h = max(im.shape[0] for im in images.values())
+    pad_w = max(im.shape[1] for im in images.values())
+    pipeline = keras_ocr_tpu.Pipeline(
+        scale=args.scale, max_size=args.max_size, pad_to=(pad_h, pad_w)
+    )
 
     pred = {}
     latencies = []
     for filepath in sorted(true):
-        image = tools.read(filepath)
+        image = images[filepath]
         start = time.perf_counter()
         predictions = pipeline.recognize(images=[image])[0]
         latencies.append(time.perf_counter() - start)

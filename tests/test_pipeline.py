@@ -157,3 +157,36 @@ def test_pipeline_mesh_sharded_batch():
         assert [w for w, _ in pa] == [w for w, _ in pb]
         for (_, ba), (_, bb) in zip(pa, pb):
             np.testing.assert_allclose(ba, bb, atol=1e-4)
+
+
+def test_pipeline_pad_to_static_shape():
+    """pad_to pads every batch to one static device shape (one compile)."""
+    import string
+
+    detector = Detector(weights=None, max_components=16)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector,
+        recognizer=recognizer,
+        scale=2,
+        max_words=8,
+        pad_to=(96, 128),
+    )
+    seen_shapes = []
+    fused = pipeline._fused
+
+    def spy(det_vars, rec_vars, images, *args, **kwargs):
+        seen_shapes.append(tuple(images.shape))
+        return fused(det_vars, rec_vars, images, *args, **kwargs)
+
+    pipeline._fused = spy
+    for shape in [(64, 96, 3), (32, 48, 3), (96, 128, 3)]:
+        out = pipeline.recognize(images=[np.zeros(shape, dtype="uint8")])
+        assert isinstance(out, list) and len(out) == 1
+    assert len(set(seen_shapes)) == 1, seen_shapes
+    assert seen_shapes[0] == (1, 96, 128, 3)
+
+    with pytest.raises(AssertionError):
+        pipeline.recognize(images=[np.zeros((200, 200, 3), dtype="uint8")])
