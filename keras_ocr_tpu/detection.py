@@ -297,3 +297,70 @@ class Detector:
                 yield X, y, sample_weights
             else:
                 yield X, y
+
+
+# ---------------------------------------------------------------------------
+# Reference-name aliases: the Keras graph builders of the reference map onto
+# this framework's Flax modules / functional ops. Kept so a keras-ocr user
+# finds every symbol they had (detection.py:65-103,290-424,428-468,472-644).
+# ---------------------------------------------------------------------------
+from .data.detection_targets import map_to_rgb  # noqa: F401,E402
+from .models.craft import ConvBN as make_vgg_block  # noqa: F401,E402  (detection.py:87-103)
+from .models.craft import UpConv as upconv  # noqa: F401,E402  (detection.py:65-84)
+from .models.craft import VGG16BN as build_vgg_backbone  # noqa: F401,E402  (detection.py:312-335)
+
+
+def build_efficientnet_backbone(model_name: str = "efficientnetb0", dtype=jnp.float32):
+    """EfficientNet backbone module for CRAFT (detection.py:338-350)."""
+    from .models.efficientnet import EfficientNetBackbone
+
+    return EfficientNetBackbone(model_name=model_name, dtype=dtype)
+
+
+def upsample_like(source, target):
+    """Bilinear resize-to-target with half-pixel centers — the reference's
+    ``UpsampleLike`` custom layer (detection.py:290-309) as a function."""
+    return image_ops.upsample_like(source, target)
+
+
+UpsampleLike = upsample_like
+
+
+def build_model(backbone_name: str = "vgg", weights_path: str = None, compute_dtype=jnp.float32):
+    """Build the CRAFT detector graph; returns (module, variables).
+
+    The TPU-native analog of the reference's ``build_keras_model``
+    (detection.py:353-424): same architecture, Flax module + variable tree
+    instead of a Keras model. Loads ``.h5`` / ``.pth`` weight files.
+    """
+    from . import weights as weights_lib
+
+    model = CRAFT(backbone_name=backbone_name, dtype=compute_dtype)
+    if weights_path is not None:
+        variables = weights_lib.load_craft_weights(weights_path)
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+    return model, variables
+
+
+build_keras_model = build_model
+
+
+def load_torch_weights(weights_path: str):
+    """Convert a reference ``.pth`` checkpoint to a Flax variable tree.
+
+    (detection.py:428-468's name-mapped loader; here the name mapping
+    lives in :func:`keras_ocr_tpu.weights.craft_variables_from_torch_state_dict`.)
+    """
+    from . import weights as weights_lib
+
+    return weights_lib.load_torch_checkpoint(weights_path)
+
+
+def build_torch_model(weights_path: str = None):
+    """The torch CRAFT twin used for parity checking (detection.py:472-644)."""
+    from .weights.torch_twin import build_torch_model as _build
+
+    return _build(weights_path)

@@ -273,3 +273,24 @@ class Recognizer:
                 yield (images, labels, input_length, label_length), y, sample_weights
             else:
                 yield (images, labels, input_length, label_length), y
+
+
+# ---------------------------------------------------------------------------
+# Reference-name aliases (recognition.py:47-51,169-184).
+# ---------------------------------------------------------------------------
+def swish(x, beta=1):
+    """x * sigmoid(beta * x) (recognition.py:47-48)."""
+    return x * jax.nn.sigmoid(beta * x)
+
+
+class CTCDecoder:
+    """Greedy CTC decode with the reference's -1-padded output contract.
+
+    Functional stand-in for the reference's Lambda layer wrapping
+    ``keras.backend.ctc_decode`` (recognition.py:169-184): call with
+    (B, T, classes) softmax frames, get (B, T) int32 label indices padded
+    with -1 to the input length.
+    """
+
+    def __call__(self, y_pred):
+        return ctc_ops.ctc_greedy_decode(jnp.asarray(y_pred))

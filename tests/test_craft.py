@@ -36,90 +36,10 @@ def _init_variables(seed=0, height=64, width=96):
     return model, {"params": variables["params"], "batch_stats": stats}
 
 
-def _variables_to_torch_state_dict(variables):
-    """Inverse of the converter: Flax tree -> reference-named torch tensors."""
-    sd = {}
-    for ref_name, (path, kind) in weights_lib.craft_name_map().items():
-        pnode = variables["params"]
-        for key in path:
-            pnode = pnode[key]
-        if kind == "conv":
-            sd[f"{ref_name}.weight"] = torch.tensor(
-                np.asarray(pnode["kernel"]).transpose(3, 2, 0, 1)
-            )
-            sd[f"{ref_name}.bias"] = torch.tensor(np.asarray(pnode["bias"]))
-        else:
-            snode = variables["batch_stats"]
-            for key in path:
-                snode = snode[key]
-            sd[f"{ref_name}.weight"] = torch.tensor(np.asarray(pnode["scale"]))
-            sd[f"{ref_name}.bias"] = torch.tensor(np.asarray(pnode["bias"]))
-            sd[f"{ref_name}.running_mean"] = torch.tensor(np.asarray(snode["mean"]))
-            sd[f"{ref_name}.running_var"] = torch.tensor(np.asarray(snode["var"]))
-    return sd
-
-
-def _torch_craft_forward(sd, x):
-    """Torch twin of our CRAFT graph (NCHW), written independently."""
-
-    def conv(h, name, dilation=1):
-        w = sd[f"{name}.weight"]
-        pad = dilation * (w.shape[2] - 1) // 2
-        return F.conv2d(h, w, sd[f"{name}.bias"], padding=pad, dilation=dilation)
-
-    def bn(h, name):
-        return F.batch_norm(
-            h,
-            sd[f"{name}.running_mean"],
-            sd[f"{name}.running_var"],
-            sd[f"{name}.weight"],
-            sd[f"{name}.bias"],
-            training=False,
-            eps=1e-5,
-        )
-
-    taps = {}
-    h = x
-    for slice_name, idx, _, pool in VGG_BLOCKS:
-        last = (slice_name, idx) == ("slice4", 37)
-        h = bn(conv(h, f"basenet.{slice_name}.{idx}"), f"basenet.{slice_name}.{idx + 1}")
-        if not last:
-            h = F.relu(h)
-        if (slice_name, idx) == ("slice1", 10):
-            taps["s1"] = h
-        elif (slice_name, idx) == ("slice2", 17):
-            taps["s2"] = h
-        elif (slice_name, idx) == ("slice3", 27):
-            taps["s3"] = h
-        elif last:
-            taps["s4"] = h
-        if pool:
-            h = F.max_pool2d(h, 2, 2)
-
-    s5 = F.max_pool2d(taps["s4"], 3, stride=1, padding=1)
-    s5 = conv(s5, "basenet.slice5.1", dilation=6)
-    s5 = conv(s5, "basenet.slice5.2")
-
-    def upconv(h, i):
-        h = F.relu(bn(conv(h, f"upconv{i}.conv.0"), f"upconv{i}.conv.1"))
-        h = F.relu(bn(conv(h, f"upconv{i}.conv.3"), f"upconv{i}.conv.4"))
-        return h
-
-    y = torch.cat([s5, taps["s4"]], dim=1)
-    y = upconv(y, 1)
-    for i, skip in ((2, "s3"), (3, "s2"), (4, "s1")):
-        y = F.interpolate(
-            y, size=taps[skip].shape[2:], mode="bilinear", align_corners=False
-        )
-        y = torch.cat([y, taps[skip]], dim=1)
-        y = upconv(y, i)
-
-    y = F.relu(conv(y, "conv_cls.0"))
-    y = F.relu(conv(y, "conv_cls.2"))
-    y = F.relu(conv(y, "conv_cls.4"))
-    y = F.relu(conv(y, "conv_cls.6"))
-    y = conv(y, "conv_cls.8")
-    return y
+from keras_ocr_tpu.weights.torch_twin import (  # noqa: E402
+    torch_craft_forward as _torch_craft_forward,
+    variables_to_torch_state_dict as _variables_to_torch_state_dict,
+)
 
 
 def test_craft_output_shape():
