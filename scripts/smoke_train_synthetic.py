@@ -68,8 +68,9 @@ def main():
     import optax
 
     trainer = RecognizerTrainer(recognizer, optimizer=optax.adam(1e-3))
+    epochs = min(10, max(1, args.steps))
     history = trainer.fit(
-        batch_gen, steps_per_epoch=args.steps // 10, epochs=10
+        batch_gen, steps_per_epoch=max(1, args.steps // epochs), epochs=epochs
     )
     print("loss history:", [round(h, 3) for h in history])
 
