@@ -199,9 +199,9 @@ class Detector:
             weights_path = weights_lib.download_pretrained(config)
             self.variables = weights_lib.load_craft_weights(weights_path)
         if self.variables is None:
-            self.variables = self.model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
-            )
+            from .models import init_variables
+
+            self.variables = init_variables(self.model, (1, 64, 64, 3))
         self._forward = jax.jit(
             lambda variables, x: self.model.apply(variables, x, train=False)
         )
@@ -339,9 +339,9 @@ def build_model(backbone_name: str = "vgg", weights_path: str = None, compute_dt
     if weights_path is not None:
         variables = weights_lib.load_craft_weights(weights_path)
     else:
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
-        )
+        from .models import init_variables
+
+        variables = init_variables(model, (1, 64, 64, 3))
     return model, variables
 
 

@@ -213,33 +213,35 @@ class SpatialTransformer(nn.Module):
         sx = 0.5 * (transformed[:, 0, :] + 1.0) * width
         sy = 0.5 * (transformed[:, 1, :] + 1.0) * height
 
-        # Bilinear sampling with clip-before-weights (recognition.py:112-160).
+        # Bilinear sampling with clip-before-weights (recognition.py:112-160),
+        # expressed as separable one-hot matmuls instead of 4-tap gathers:
+        # XLA:TPU serializes dynamically-indexed gathers (~2.5 ms for 64
+        # crops), while the (B, P, H) x (B, H, W*C) einsums ride the MXU.
+        # The arithmetic is identical — each sample's two taps per axis land
+        # as weights on a one-hot row, including the reference's quirky
+        # zero-contribution at the right/bottom edges (when both clipped
+        # taps coincide the weights sum to x1f - x0f = 0).
         x0 = jnp.floor(sx).astype(jnp.int32)
-        x1 = x0 + 1
         y0 = jnp.floor(sy).astype(jnp.int32)
-        y1 = y0 + 1
-        x0 = jnp.clip(x0, 0, width - 1)
-        x1 = jnp.clip(x1, 0, width - 1)
-        y0 = jnp.clip(y0, 0, height - 1)
-        y1 = jnp.clip(y1, 0, height - 1)
+        x0c = jnp.clip(x0, 0, width - 1)
+        x1c = jnp.clip(x0 + 1, 0, width - 1)
+        y0c = jnp.clip(y0, 0, height - 1)
+        y1c = jnp.clip(y0 + 1, 0, height - 1)
 
-        flat = x.astype(jnp.float32).reshape((batch, height * width, channels))
+        def axis_weights(s, lo, hi, size):
+            # (B, P, size): (hi_f - s) at index lo, (s - lo_f) at index hi.
+            idx = jnp.arange(size, dtype=jnp.int32)[None, None, :]
+            w_lo = (hi.astype(jnp.float32) - s)[..., None]
+            w_hi = (s - lo.astype(jnp.float32))[..., None]
+            return jnp.where(idx == lo[..., None], w_lo, 0.0) + jnp.where(
+                idx == hi[..., None], w_hi, 0.0
+            )
 
-        def gather(yy, xx):
-            idx = yy * width + xx  # (B, H*W)
-            return jnp.take_along_axis(flat, idx[..., None], axis=1)
-
-        va = gather(y0, x0)
-        vb = gather(y1, x0)
-        vc = gather(y0, x1)
-        vd = gather(y1, x1)
-        x0f, x1f = x0.astype(jnp.float32), x1.astype(jnp.float32)
-        y0f, y1f = y0.astype(jnp.float32), y1.astype(jnp.float32)
-        wa = ((x1f - sx) * (y1f - sy))[..., None]
-        wb = ((x1f - sx) * (sy - y0f))[..., None]
-        wc = ((sx - x0f) * (y1f - sy))[..., None]
-        wd = ((sx - x0f) * (sy - y0f))[..., None]
-        out = wa * va + wb * vb + wc * vc + wd * vd
+        w_x = axis_weights(sx, x0c, x1c, width)  # (B, P, W)
+        w_y = axis_weights(sy, y0c, y1c, height)  # (B, P, H)
+        feats = x.astype(jnp.float32)
+        t = jnp.einsum("bph,bhwc->bpwc", w_y, feats)
+        out = jnp.einsum("bpw,bpwc->bpc", w_x, t)
         return out.reshape((batch, height, width, channels)).astype(self.dtype)
 
 

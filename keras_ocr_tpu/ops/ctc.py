@@ -131,16 +131,22 @@ def ctc_greedy_decode(
     """
     batch, time, num_classes = probs.shape
     blank = num_classes - 1
+    assert pad_value < 0, "max-based packing needs pad_value below any label"
     preds = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # (B, T)
     prev = jnp.pad(preds, ((0, 0), (1, 0)), constant_values=blank)[:, :time]
     keep = (preds != prev) & (preds != blank)
     if mask is not None:
         keep = keep & mask
     positions = jnp.where(keep, jnp.cumsum(keep, axis=1) - 1, time)  # (B, T)
-    out = jnp.full((batch, time + 1), pad_value, dtype=jnp.int32)
-    batch_idx = jnp.broadcast_to(jnp.arange(batch)[:, None], positions.shape)
-    out = out.at[batch_idx, positions].set(preds, mode="drop")
-    return out[:, :time]
+    # Left-pack WITHOUT a scatter (XLA:TPU serializes row scatters; the
+    # (B, T, T) one-hot max is a trivial VPU reduce at T=48): output slot p
+    # takes the unique frame whose kept-rank equals p, else pad_value.
+    slots = jnp.arange(time, dtype=jnp.int32)[None, :, None]  # (1, P, 1)
+    hits = positions[:, None, :] == slots  # (B, P, T)
+    out = jnp.max(
+        jnp.where(hits, preds[:, None, :], pad_value), axis=2
+    ).astype(jnp.int32)
+    return out
 
 
 def ctc_decode_to_strings(decoded, alphabet: str) -> list:

@@ -68,6 +68,18 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard an NHWC image batch: batch on ``data``, HEIGHT on ``model``.
+
+    The SURVEY §2c "closest analog to context parallelism" for this
+    workload: convolutions over a spatially-partitioned input. XLA's SPMD
+    partitioner inserts the halo exchanges (collective-permutes of the
+    kernel-support rows over ICI) automatically, so hi-res images can run
+    across chips without any model change.
+    """
+    return NamedSharding(mesh, P("data", "model"))
+
+
 def crnn_param_sharding(mesh: Mesh):
     """Tensor-parallel sharding rules for CRNN parameters.
 

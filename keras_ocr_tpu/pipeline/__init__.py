@@ -82,10 +82,16 @@ class Pipeline:
         # inference scale-out design. XLA partitions the fused program
         # from the input shardings alone.
         self.mesh = mesh
+        self._spatial = False
         if mesh is not None:
             from ..parallel import mesh as mesh_lib
 
             self._batch_sharding = mesh_lib.batch_sharding(mesh)
+            # With a non-trivial ``model`` axis, additionally shard image
+            # HEIGHT across it for the detector forward (SURVEY §2c spatial
+            # sharding — XLA SPMD inserts the conv halo exchanges).
+            self._spatial = mesh.shape.get("model", 1) > 1
+            self._spatial_sharding = mesh_lib.spatial_sharding(mesh)
             replicated = mesh_lib.replicated(mesh)
             self.detector.variables = jax.device_put(
                 self.detector.variables, replicated
@@ -120,7 +126,16 @@ class Pipeline:
             # small uint8 originals — 16x less host->device traffic.
             images = resize_bilinear(images, resize_to[0], resize_to[1])
         x = compute_input(images)
+        if self._spatial:
+            # Run CRAFT with height sharded over the model axis; the
+            # heatmaps (4x smaller than the input) come back batch-sharded
+            # for the (row-global) post-processing reductions.
+            x = jax.lax.with_sharding_constraint(x, self._spatial_sharding)
         heatmaps = self.detector.model.apply(det_variables, x, train=False)
+        if self._spatial:
+            heatmaps = jax.lax.with_sharding_constraint(
+                heatmaps, self._batch_sharding
+            )
         boxes, mask = postprocess_ops.get_boxes(
             heatmaps,
             detection_threshold=detection_threshold,

@@ -122,11 +122,9 @@ class Recognizer:
         )
         channels = 3 if build_params["color"] else 1
         self.input_shape = (build_params["height"], build_params["width"], channels)
-        self.variables = self.model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1,) + self.input_shape),
-            train=False,
-        )
+        from .models import init_variables
+
+        self.variables = init_variables(self.model, (1,) + self.input_shape)
         if weights is not None:
             pretrained = weights_lib.RECOGNIZER_PRETRAINED[weights]
             if alphabet == DEFAULT_ALPHABET:

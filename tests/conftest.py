@@ -23,3 +23,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's cost is dominated by XLA
+# recompiling the same pipeline/trainer programs every run. Cache compiled
+# executables on disk (keyed by HLO, so code changes still recompile).
+_cache_dir = os.environ.get(
+    "KERAS_OCR_TPU_TEST_CACHE", "/tmp/keras_ocr_tpu_xla_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -159,6 +159,52 @@ def test_pipeline_mesh_sharded_batch():
             np.testing.assert_allclose(ba, bb, atol=1e-4)
 
 
+def test_pipeline_spatial_sharded_batch():
+    """SURVEY §2c spatial sharding: (data=4, model=2) mesh with image
+    height sharded over ``model`` for the detector forward matches the
+    unsharded pipeline exactly (XLA SPMD inserts the conv halo exchange)."""
+    import string
+
+    import jax
+
+    from keras_ocr_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+
+    detector = Detector(weights=None, max_components=16)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    kwargs = dict(detector=detector, recognizer=recognizer, scale=2, max_words=8)
+    plain = keras_ocr_tpu.Pipeline(**kwargs)
+    sharded = keras_ocr_tpu.Pipeline(
+        mesh=mesh_lib.create_mesh(shape=(4, 2)), **kwargs
+    )
+    assert sharded._spatial
+    rng = np.random.RandomState(1)
+    images = []
+    for _ in range(2):
+        image = np.zeros((64, 96, 3), dtype="uint8")
+        x, y = rng.randint(0, 40), rng.randint(0, 30)
+        image[y : y + 20, x : x + 50] = 255
+        images.append(image)
+    detection_kwargs = {
+        "detection_threshold": -10.0,
+        "text_threshold": -10.0,
+        "link_threshold": 10.0,
+        "size_threshold": 1,
+    }
+    a = plain.recognize(images=images, detection_kwargs=detection_kwargs)
+    b = sharded.recognize(images=images, detection_kwargs=detection_kwargs)
+    for pa, pb in zip(a, b):
+        assert [w for w, _ in pa] == [w for w, _ in pb]
+        for (_, ba), (_, bb) in zip(pa, pb):
+            np.testing.assert_allclose(ba, bb, atol=1e-4)
+
+
 def test_pipeline_pad_to_static_shape():
     """pad_to pads every batch to one static device shape (one compile)."""
     import string
