@@ -11,7 +11,10 @@ cropping / CTC decoding run on-device, and training scales over
 """
 
 from . import config
-from . import tools
+
+config.enable_compile_cache()
+
+from . import tools  # noqa: E402
 from . import evaluation
 from . import ops
 from . import models

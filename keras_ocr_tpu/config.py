@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -66,6 +67,29 @@ def get_config() -> RuntimeConfig:
 def set_config(config: RuntimeConfig) -> None:
     global _CONFIG
     _CONFIG = config
+
+
+def enable_compile_cache(directory: typing.Optional[str] = None) -> str:
+    """Point JAX's persistent compilation cache at a stable directory.
+
+    Compiling the fused pipeline costs ~40 s (and minutes on a busy
+    tunneled runtime); the persistent cache makes every later process
+    reuse the compiled executable. Called at package import; a directory
+    already configured by the user (or ``JAX_COMPILATION_CACHE_DIR``) is
+    left untouched.
+    """
+    current = jax.config.jax_compilation_cache_dir
+    if current:
+        return current
+    if directory is None:
+        directory = os.environ.get(
+            "KERAS_OCR_TPU_COMPILE_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "keras_ocr_tpu", "xla_cache"
+            ),
+        )
+    jax.config.update("jax_compilation_cache_dir", directory)
+    return directory
 
 
 def configure() -> bool:

@@ -233,6 +233,12 @@ def _get_boxes_single(
     vmax = vmax + dv_max
     vmin = vmin + dv_min
 
+    # Known deviation from cv2: the reference dilates into a same-size
+    # image, implicitly clipping the dilated set at the borders before
+    # minAreaRect; the analytic Minkowski expansion here is unclipped, so
+    # components touching the border can get a slightly larger rectangle.
+    # (The diamond/axis-aligned fallback below IS border-clipped, matching
+    # detection.py:276-281 exactly.)
     rect_w = umax - umin  # (C, K)
     rect_h = vmax - vmin
     rect_area = rect_w * rect_h
