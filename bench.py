@@ -19,15 +19,11 @@ import numpy as np
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
-    # Persistent compile cache: repeated bench runs (and anything else in
-    # this environment) skip the ~40 s cold XLA compile of the fused
-    # pipeline.
-    jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/keras_ocr_tpu_xla_cache_tpu"
-    )
+    # Importing keras_ocr_tpu points JAX's persistent compile cache at
+    # ~/.cache/keras_ocr_tpu/xla_cache, so repeated bench runs skip the
+    # cold XLA compile of the fused pipeline.
 
     from keras_ocr_tpu.detection import Detector
     from keras_ocr_tpu.recognition import Recognizer

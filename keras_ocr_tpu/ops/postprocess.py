@@ -54,7 +54,17 @@ from .cc import compact_labels, label_components
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_components", "num_angles"),
+    # Thresholds are static: Python floats baked into the program rather
+    # than four per-call device-scalar uploads (each a full RPC round trip
+    # on tunneled TPUs). Distinct threshold settings recompile once each.
+    static_argnames=(
+        "detection_threshold",
+        "text_threshold",
+        "link_threshold",
+        "size_threshold",
+        "max_components",
+        "num_angles",
+    ),
 )
 def get_boxes(
     heatmaps: jnp.ndarray,
