@@ -53,6 +53,12 @@ class Pipeline:
         mesh: Optional jax.sharding.Mesh; shards the image batch over the
             mesh's ``data`` axis (params replicated) for multi-chip
             batched inference.
+        word_buckets: Increasing word-capacity ladder ending at
+            ``max_words`` (default ``(16, max_words)``). ``recognize``
+            runs the smallest bucket and escalates only when an image
+            fills every word slot, so the CRNN (cost linear in the static
+            crop count) sizes itself to the scene. Pass ``(max_words,)``
+            to disable.
     """
 
     def __init__(
@@ -65,6 +71,7 @@ class Pipeline:
         size_bucket: int = 32,
         pad_to: typing.Optional[typing.Tuple[int, int]] = None,
         mesh=None,
+        word_buckets: typing.Optional[typing.Sequence[int]] = None,
     ):
         if detector is None:
             detector = Detector()
@@ -75,6 +82,15 @@ class Pipeline:
         self.recognizer = recognizer
         self.max_size = max_size
         self.max_words = max_words
+        if word_buckets is None:
+            word_buckets = (
+                (16, max_words) if max_words > 16 else (max_words,)
+            )
+        assert word_buckets[-1] == max_words and list(word_buckets) == sorted(
+            set(word_buckets)
+        ), "word_buckets must be strictly increasing and end at max_words"
+        self.word_buckets = tuple(int(b) for b in word_buckets)
+        self._bucket_start = 0
         self.size_bucket = size_bucket
         self.pad_to = pad_to
         # Optional data-parallel inference: shard the image batch over the
@@ -278,22 +294,42 @@ class Pipeline:
             device_batch = jax.device_put(batch, self._batch_sharding)
         else:
             device_batch = jnp.asarray(batch)
-        packed = np.asarray(
-            self._fused(
-                self.detector.variables,
-                self.recognizer.variables,
-                device_batch,
-                detection_threshold=float(
-                    detection_kwargs.get("detection_threshold", 0.7)
-                ),
-                text_threshold=float(detection_kwargs.get("text_threshold", 0.4)),
-                link_threshold=float(detection_kwargs.get("link_threshold", 0.4)),
-                size_threshold=float(detection_kwargs.get("size_threshold", 10)),
-                max_components=self.detector.max_components,
-                max_words=self.max_words,
-                resize_to=resize_to,
-            )
-        )[:num_real]
+        # Adaptive word capacity: the CRNN cost is linear in the static
+        # crop count, and typical scenes hold far fewer words than
+        # ``max_words``. Run the sticky starting bucket (the smallest
+        # level that sufficed recently) and escalate only when an image's
+        # word slots are ALL used (possible truncation). Results are
+        # identical to running the largest bucket directly: the same
+        # program with a bigger cap. The sticky start means a steady
+        # workload pays exactly ONE program per call at its density.
+        buckets = self.word_buckets[self._bucket_start :]
+        for bucket_idx, bucket in enumerate(buckets):
+            packed = np.asarray(
+                self._fused(
+                    self.detector.variables,
+                    self.recognizer.variables,
+                    device_batch,
+                    detection_threshold=float(
+                        detection_kwargs.get("detection_threshold", 0.7)
+                    ),
+                    text_threshold=float(detection_kwargs.get("text_threshold", 0.4)),
+                    link_threshold=float(detection_kwargs.get("link_threshold", 0.4)),
+                    size_threshold=float(detection_kwargs.get("size_threshold", 10)),
+                    max_components=self.detector.max_components,
+                    max_words=bucket,
+                    resize_to=resize_to,
+                )
+            )[:num_real]
+            maybe_truncated = bool((packed[..., 8] > 0.5).all(axis=1).any())
+            if not maybe_truncated or bucket_idx == len(buckets) - 1:
+                break
+        # Sticky start for the next call: the smallest bucket with slack
+        # for the word count just observed.
+        word_count = int((packed[..., 8] > 0.5).sum(axis=1).max()) if len(packed) else 0
+        self._bucket_start = next(
+            (i for i, b in enumerate(self.word_buckets) if b > word_count),
+            len(self.word_buckets) - 1,
+        )
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
         decoded = packed[..., 9:].astype("int32")

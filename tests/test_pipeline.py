@@ -236,3 +236,61 @@ def test_pipeline_pad_to_static_shape():
 
     with pytest.raises(AssertionError):
         pipeline.recognize(images=[np.zeros((200, 200, 3), dtype="uint8")])
+
+
+def test_pipeline_word_bucket_escalation():
+    """Word-capacity ladder: when every slot of the small bucket is used
+    (possible truncation) recognize re-runs with the next bucket; sparse
+    scenes stay in the small bucket. The device program is stubbed: the
+    ladder is host-side logic keyed on the packed validity mask."""
+    import string
+
+    detector = Detector(weights=None, max_components=32)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector,
+        recognizer=recognizer,
+        scale=2,
+        max_words=16,
+        word_buckets=(4, 16),
+    )
+    assert pipeline.word_buckets == (4, 16)
+
+    n_words = 6
+    seen = []
+
+    def fake_fused(det_vars, rec_vars, images, *, max_words, **kw):
+        seen.append(max_words)
+        batch = images.shape[0]
+        packed = np.zeros((batch, max_words, 9 + 48), dtype="float32")
+        k = min(n_words, max_words)
+        packed[:, :k, 8] = 1.0  # validity mask
+        packed[:, :, :8] = 1.0  # degenerate but nonzero boxes
+        packed[:, :, 9:] = -1.0  # empty decoded strings
+        return packed
+
+    pipeline._fused = fake_fused
+    image = np.zeros((64, 96, 3), dtype="uint8")
+    out = pipeline.recognize(images=[image])
+    assert seen == [4, 16]
+    assert len(out[0]) == n_words
+
+    # Sticky start: after a dense scene the next call begins at the big
+    # bucket directly (no double-run for steady dense workloads).
+    seen.clear()
+    out = pipeline.recognize(images=[image])
+    assert seen == [16]
+    assert len(out[0]) == n_words
+
+    # A sparse result drops the sticky start back down.
+    seen.clear()
+    n_words = 2
+    out = pipeline.recognize(images=[image])
+    assert seen == [16]
+    assert len(out[0]) == 2
+    seen.clear()
+    out = pipeline.recognize(images=[image])
+    assert seen == [4]
+    assert len(out[0]) == 2
