@@ -53,8 +53,62 @@ def create_mesh(
     return Mesh(grid, axis_names)
 
 
+def create_hybrid_mesh(
+    dcn_data: int = 1,
+    ici_shape: typing.Optional[typing.Tuple[int, int]] = None,
+    axis_names: typing.Tuple[str, ...] = ("slice", "data", "model"),
+    devices=None,
+) -> Mesh:
+    """(slice, data, model) mesh for multi-slice TPU pods.
+
+    Data parallelism is split hierarchically: the outer ``slice`` axis
+    maps onto DCN (slow inter-slice network, gradient all-reduce only)
+    and the inner ``data``/``model`` axes onto ICI, so collectives that
+    run every step ride the fast fabric — the SURVEY §2c DCN/ICI layering
+    (scaling-book recipe). Falls back to a trivial slice axis of size 1
+    on single-slice (or CPU) platforms, so the same program shape works
+    everywhere.
+
+    Args:
+        dcn_data: number of slices (DCN-connected groups).
+        ici_shape: (data, model) shape within one slice; default = all
+            local devices on data.
+    """
+    if devices is None:
+        devices = jax.devices()
+    per_slice = len(devices) // dcn_data
+    if ici_shape is None:
+        ici_shape = (per_slice, 1)
+    if dcn_data > 1 and hasattr(devices[0], "slice_index"):
+        from jax.experimental import mesh_utils
+
+        # mesh_shape is the per-slice (ICI) grid, dcn_mesh_shape the
+        # across-slice factors; result = (slice, data, model) directly.
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1,) + tuple(ici_shape),
+            dcn_mesh_shape=(dcn_data, 1, 1),
+            devices=devices,
+        )
+    else:
+        # CPU simulation (fake devices have no slice topology) or a
+        # single slice: contiguous grouping stands in for the DCN axis.
+        grid = np.asarray(devices).reshape((dcn_data,) + tuple(ici_shape))
+    return Mesh(grid, axis_names)
+
+
+def hybrid_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the batch over both DCN (slice) and ICI (data) data axes."""
+    return NamedSharding(mesh, P(("slice", "data")))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
+    """Shard the leading (batch) axis over all data-parallel axes.
+
+    On a hybrid multi-slice mesh the batch splits over (slice, data) —
+    DCN only ever carries the gradient all-reduce, never activations.
+    """
+    if "slice" in mesh.axis_names:
+        return hybrid_batch_sharding(mesh)
     return NamedSharding(mesh, P("data"))
 
 

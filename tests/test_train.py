@@ -143,3 +143,21 @@ def test_tensor_parallel_sharding_step(recognizer):
     batch = _recognizer_batch(recognizer)
     loss = trainer.train_step(batch, jax.random.PRNGKey(0))
     assert np.isfinite(loss)
+
+
+def test_hybrid_multislice_mesh_step(recognizer):
+    """Multi-slice DP (SURVEY §2c DCN/ICI layering): one train step on a
+    (slice=2, data=2, model=2) hybrid mesh runs and matches the loss of a
+    plain single-mesh step (same global batch, same init)."""
+    from keras_ocr_tpu.parallel import mesh as mesh_lib
+
+    batch = _recognizer_batch(recognizer)
+    plain = RecognizerTrainer(recognizer, mesh=mesh_lib.create_mesh(shape=(8, 1)))
+    loss_plain = plain.train_step(batch, jax.random.PRNGKey(0))
+
+    mesh = mesh_lib.create_hybrid_mesh(dcn_data=2, ici_shape=(2, 2))
+    assert dict(mesh.shape) == {"slice": 2, "data": 2, "model": 2}
+    hybrid = RecognizerTrainer(recognizer, mesh=mesh)
+    loss_hybrid = hybrid.train_step(batch, jax.random.PRNGKey(0))
+    assert np.isfinite(loss_hybrid)
+    np.testing.assert_allclose(loss_hybrid, loss_plain, rtol=1e-4)
