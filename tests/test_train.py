@@ -161,3 +161,55 @@ def test_hybrid_multislice_mesh_step(recognizer):
     loss_hybrid = hybrid.train_step(batch, jax.random.PRNGKey(0))
     assert np.isfinite(loss_hybrid)
     np.testing.assert_allclose(loss_hybrid, loss_plain, rtol=1e-4)
+
+
+def test_recognizer_overfit_reads_back_strings():
+    """Functional training check (offline analog of the reference's golden
+    'eventdock' test): overfit a tiny CRNN on four deterministic synthetic
+    crops until the END-TO-END prediction path reads the strings back."""
+    recognizer = Recognizer(weights=None, alphabet=ALPHABET, build_params=TINY_CRNN)
+    h, w = TINY_CRNN["height"], TINY_CRNN["width"]
+    # 8 samples so the batch shards evenly over the 8 fake devices.
+    texts = ["abc", "hgf", "adg", "ceb", "bad", "fed", "gac", "hbe"]
+
+    def render(text):
+        # Char c -> horizontal stripe at a c-specific height inside its
+        # third of the crop: trivially separable, must still be learned.
+        image = np.zeros((h, w), dtype="float32")
+        seg = w // len(text)
+        for i, ch in enumerate(text):
+            c = ALPHABET.index(ch)
+            y = 2 + 3 * c
+            image[y : y + 3, i * seg + 2 : (i + 1) * seg - 2] = 1.0
+        return image
+
+    images = np.stack([render(t) for t in texts])[..., None]
+    time_steps = (
+        TINY_CRNN["width"] // TINY_CRNN["pool_size"] ** 2
+        - TINY_CRNN["rnn_steps_to_discard"]
+    )
+    labels = np.full((len(texts), 8), -1, dtype="int32")
+    for i, t in enumerate(texts):
+        labels[i, : len(t)] = [ALPHABET.index(ch) for ch in t]
+    input_length = np.full((len(texts), 1), time_steps, dtype="int32")
+    label_length = np.full((len(texts), 1), 3, dtype="int32")
+    batch = ((images, labels, input_length, label_length), np.zeros(len(texts)))
+
+    import optax
+
+    trainer = RecognizerTrainer(recognizer, optimizer=optax.rmsprop(5e-3))
+    rng = jax.random.PRNGKey(0)
+    got = None
+    for step in range(400):
+        trainer.train_step(batch, jax.random.fold_in(rng, step))
+        if step % 50 == 49:
+            recognizer.variables = jax.device_get(trainer.variables)
+            got = [
+                recognizer.recognize(
+                    np.repeat((render(t) * 255).astype("uint8")[..., None], 3, -1)
+                )
+                for t in texts
+            ]
+            if got == texts:
+                break
+    assert got == texts, got
