@@ -211,17 +211,13 @@ class Pipeline:
         )
         return packed
 
-    def recognize(
-        self,
-        images,
-        detection_kwargs: typing.Optional[dict] = None,
-        recognition_kwargs: typing.Optional[dict] = None,
-    ):
-        """Run the fused pipeline; returns a list of (word, box) lists.
+    def _prepare(self, images):
+        """Host prep: read/resize/pad to one uint8 batch + device upload.
 
-        (pipeline.py:28-75.)
+        Returns (device_batch, scales, num_real, resize_to); the upload is
+        asynchronous, so callers may keep preparing further batches while
+        this one is in flight.
         """
-        detection_kwargs = dict(detection_kwargs or {})
         if not isinstance(images, np.ndarray):
             images = [tools.read(image) for image in images]
         bucket = self.size_bucket
@@ -294,42 +290,56 @@ class Pipeline:
             device_batch = jax.device_put(batch, self._batch_sharding)
         else:
             device_batch = jnp.asarray(batch)
-        # Adaptive word capacity: the CRNN cost is linear in the static
-        # crop count, and typical scenes hold far fewer words than
-        # ``max_words``. Run the sticky starting bucket (the smallest
-        # level that sufficed recently) and escalate only when an image's
-        # word slots are ALL used (possible truncation). Results are
-        # identical to running the largest bucket directly: the same
-        # program with a bigger cap. The sticky start means a steady
-        # workload pays exactly ONE program per call at its density.
-        buckets = self.word_buckets[self._bucket_start :]
-        for bucket_idx, bucket in enumerate(buckets):
+        return device_batch, scales, num_real, resize_to
+
+    def _launch(self, device_batch, detection_kwargs, bucket, resize_to):
+        """Asynchronously dispatch the fused program at one word bucket."""
+        return self._fused(
+            self.detector.variables,
+            self.recognizer.variables,
+            device_batch,
+            detection_threshold=float(
+                detection_kwargs.get("detection_threshold", 0.7)
+            ),
+            text_threshold=float(detection_kwargs.get("text_threshold", 0.4)),
+            link_threshold=float(detection_kwargs.get("link_threshold", 0.4)),
+            size_threshold=float(detection_kwargs.get("size_threshold", 10)),
+            max_components=self.detector.max_components,
+            max_words=bucket,
+            resize_to=resize_to,
+        )
+
+    def _fetch_escalating(
+        self, packed_dev, device_batch, detection_kwargs, resize_to, num_real
+    ):
+        """Fetch a dispatched result; escalate the word bucket on overflow.
+
+        Escalation (every slot of the current bucket used — possible
+        truncation) reruns the SAME program with a bigger cap, so results
+        are identical to having used the big bucket directly. The sticky
+        start remembers the density so steady workloads pay exactly ONE
+        program per call.
+        """
+        remaining = list(
+            self.word_buckets[self.word_buckets.index(packed_dev.shape[1]) + 1 :]
+        )
+        packed = np.asarray(packed_dev)[:num_real]
+        while bool((packed[..., 8] > 0.5).all(axis=1).any()) and remaining:
+            bucket = remaining.pop(0)
             packed = np.asarray(
-                self._fused(
-                    self.detector.variables,
-                    self.recognizer.variables,
-                    device_batch,
-                    detection_threshold=float(
-                        detection_kwargs.get("detection_threshold", 0.7)
-                    ),
-                    text_threshold=float(detection_kwargs.get("text_threshold", 0.4)),
-                    link_threshold=float(detection_kwargs.get("link_threshold", 0.4)),
-                    size_threshold=float(detection_kwargs.get("size_threshold", 10)),
-                    max_components=self.detector.max_components,
-                    max_words=bucket,
-                    resize_to=resize_to,
-                )
+                self._launch(device_batch, detection_kwargs, bucket, resize_to)
             )[:num_real]
-            maybe_truncated = bool((packed[..., 8] > 0.5).all(axis=1).any())
-            if not maybe_truncated or bucket_idx == len(buckets) - 1:
-                break
-        # Sticky start for the next call: the smallest bucket with slack
-        # for the word count just observed.
-        word_count = int((packed[..., 8] > 0.5).sum(axis=1).max()) if len(packed) else 0
+        word_count = (
+            int((packed[..., 8] > 0.5).sum(axis=1).max()) if len(packed) else 0
+        )
         self._bucket_start = next(
             (i for i, b in enumerate(self.word_buckets) if b > word_count),
             len(self.word_buckets) - 1,
         )
+        return packed
+
+    def _finalize(self, packed, scales):
+        """Unpack the fetched (B, words, 8+1+T) array into the ragged API."""
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
         decoded = packed[..., 9:].astype("int32")
@@ -344,4 +354,72 @@ class Pipeline:
             if scale != 1:
                 image_boxes = image_boxes / scale
             results.append(list(zip(words, [box for box in image_boxes])))
+        return results
+
+    def recognize(
+        self,
+        images,
+        detection_kwargs: typing.Optional[dict] = None,
+        recognition_kwargs: typing.Optional[dict] = None,
+    ):
+        """Run the fused pipeline; returns a list of (word, box) lists.
+
+        (pipeline.py:28-75.)
+        """
+        detection_kwargs = dict(detection_kwargs or {})
+        device_batch, scales, num_real, resize_to = self._prepare(images)
+        packed_dev = self._launch(
+            device_batch,
+            detection_kwargs,
+            self.word_buckets[self._bucket_start],
+            resize_to,
+        )
+        packed = self._fetch_escalating(
+            packed_dev, device_batch, detection_kwargs, resize_to, num_real
+        )
+        return self._finalize(packed, scales)
+
+    def recognize_many(
+        self,
+        images,
+        batch_size: int = 8,
+        detection_kwargs: typing.Optional[dict] = None,
+        queue_depth: int = 2,
+    ):
+        """Throughput-oriented recognize: pipelined batches, same results.
+
+        Splits ``images`` into ``batch_size`` chunks and keeps up to
+        ``queue_depth`` fused programs in flight: while the device chews
+        on batch *i*, the host prepares, uploads, and dispatches batch
+        *i+1* (JAX dispatch is asynchronous), hiding host prep and
+        transfer time under device compute. Output is identical to
+        ``recognize`` called per chunk.
+        """
+        detection_kwargs = dict(detection_kwargs or {})
+        if not isinstance(images, (list, tuple)):
+            images = list(images)
+        inflight: typing.List[tuple] = []
+        results: typing.List[list] = []
+
+        def drain_one():
+            packed_dev, device_batch, resize_to, num_real, scales = inflight.pop(0)
+            packed = self._fetch_escalating(
+                packed_dev, device_batch, detection_kwargs, resize_to, num_real
+            )
+            results.extend(self._finalize(packed, scales))
+
+        for start in range(0, len(images), batch_size):
+            chunk = images[start : start + batch_size]
+            device_batch, scales, num_real, resize_to = self._prepare(chunk)
+            packed_dev = self._launch(
+                device_batch,
+                detection_kwargs,
+                self.word_buckets[self._bucket_start],
+                resize_to,
+            )
+            inflight.append((packed_dev, device_batch, resize_to, num_real, scales))
+            if len(inflight) > queue_depth:
+                drain_one()
+        while inflight:
+            drain_one()
         return results

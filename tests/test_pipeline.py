@@ -294,3 +294,42 @@ def test_pipeline_word_bucket_escalation():
     out = pipeline.recognize(images=[image])
     assert seen == [4]
     assert len(out[0]) == 2
+
+
+def test_recognize_many_matches_recognize():
+    """Pipelined recognize_many returns exactly what per-chunk recognize
+    returns (same order), across chunk boundaries and queue depths."""
+    import string
+
+    detector = Detector(weights=None, max_components=16)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector, recognizer=recognizer, scale=2, max_words=8,
+        pad_to=(64, 96),
+    )
+    rng = np.random.RandomState(3)
+    images = []
+    for _ in range(5):
+        image = np.zeros((64, 96, 3), dtype="uint8")
+        x, y = rng.randint(0, 40), rng.randint(0, 30)
+        image[y : y + 20, x : x + 50] = 255
+        images.append(image)
+    detection_kwargs = {
+        "detection_threshold": -10.0,
+        "text_threshold": -10.0,
+        "link_threshold": 10.0,
+        "size_threshold": 1,
+    }
+    a = pipeline.recognize_many(
+        images, batch_size=2, detection_kwargs=detection_kwargs, queue_depth=2
+    )
+    b = []
+    for img in images:
+        b.extend(pipeline.recognize(images=[img], detection_kwargs=detection_kwargs))
+    assert len(a) == len(b) == 5
+    for pa, pb in zip(a, b):
+        assert [w for w, _ in pa] == [w for w, _ in pb]
+        for (_, ba), (_, bb) in zip(pa, pb):
+            np.testing.assert_allclose(ba, bb, atol=1e-4)
