@@ -46,6 +46,9 @@ def floor_time():
 
 
 def main():
+    if any(a in ("-h", "--help") for a in sys.argv[1:]):
+        print(__doc__)
+        return 0
     tile_hs = [int(a) for a in sys.argv[1:]] or [16, 32]
     print("devices:", jax.devices())
     f = floor_time()

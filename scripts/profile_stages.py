@@ -17,6 +17,10 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    argparse.ArgumentParser(description=__doc__).parse_args()
+
     import jax
     import jax.numpy as jnp
 
