@@ -333,3 +333,43 @@ def test_recognize_many_matches_recognize():
         assert [w for w, _ in pa] == [w for w, _ in pb]
         for (_, ba), (_, bb) in zip(pa, pb):
             np.testing.assert_allclose(ba, bb, atol=1e-4)
+
+
+def test_pipeline_non_uniform_scale_path():
+    """Mixed sizes where one image exceeds max_size take the host-resize
+    (fractional scale) path; boxes still come back in original coords."""
+    import string
+
+    detector = Detector(weights=None, max_components=16)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector, recognizer=recognizer, scale=2, max_size=128,
+        max_words=8,
+    )
+    small = np.zeros((40, 60, 3), dtype="uint8")
+    small[10:30, 10:50] = 255
+    big = np.zeros((100, 160, 3), dtype="uint8")  # 160*2 > 128 -> scale 0.8
+    big[30:70, 20:140] = 255
+    detection_kwargs = {
+        "detection_threshold": -10.0,
+        "text_threshold": -10.0,
+        "link_threshold": 10.0,
+        "size_threshold": 1,
+    }
+    groups = pipeline.recognize(
+        images=[small, big], detection_kwargs=detection_kwargs
+    )
+    assert len(groups) == 2
+    assert len(groups[0]) >= 1 and len(groups[1]) >= 1
+    box_small = groups[0][0][1]
+    box_big = groups[1][0][1]
+    # With all-foreground thresholds both boxes cover the common padded
+    # canvas on device; descaling back to each ORIGINAL image space must
+    # therefore differ by exactly the per-image scale ratio 2 / 0.8.
+    np.testing.assert_allclose(
+        box_big[:, 0].max() / box_small[:, 0].max(), 2.0 / 0.8, rtol=0.05
+    )
+    for word, box in [groups[0][0], groups[1][0]]:
+        assert isinstance(word, str) and box.shape == (4, 2)
