@@ -423,3 +423,134 @@ class Pipeline:
         while inflight:
             drain_one()
         return results
+
+    def export(
+        self,
+        path: str,
+        height: int,
+        width: int,
+        batch_size: int = 1,
+        detection_kwargs: typing.Optional[dict] = None,
+        max_words: typing.Optional[int] = None,
+        platforms: typing.Optional[typing.Sequence[str]] = None,
+    ) -> str:
+        """Serialize the fused pipeline for serving (AOT, weights baked in).
+
+        Writes ``<path>.stablehlo`` — a portable ``jax.export`` artifact of
+        the ENTIRE device program (normalize, CRAFT, getBoxes, crops, CRNN,
+        CTC) specialized to one static input shape, with the current
+        weights baked in as constants — and ``<path>.json`` with the host
+        metadata (alphabet, scale, shapes) needed to serve it. Reload with
+        :func:`load_exported`; no model-building code, weight files, or
+        Python framework state is needed at serving time (the artifact can
+        also be compiled/invoked from C++ via PJRT).
+
+        Args:
+            height/width: pre-scale input image shape the artifact serves
+                (images are padded to this by the serving wrapper).
+            batch_size: static batch the artifact serves.
+            platforms: lowering platforms (e.g. ``["tpu", "cpu"]``);
+                default = current backend.
+        """
+        import json
+
+        from jax import export as jax_export
+
+        detection_kwargs = dict(detection_kwargs or {})
+        max_words = max_words or self.max_words
+        resize_to = (height * self.scale, width * self.scale)
+
+        def serve(images):
+            return self._device_pipeline(
+                self.detector.variables,
+                self.recognizer.variables,
+                images,
+                float(detection_kwargs.get("detection_threshold", 0.7)),
+                float(detection_kwargs.get("text_threshold", 0.4)),
+                float(detection_kwargs.get("link_threshold", 0.4)),
+                float(detection_kwargs.get("size_threshold", 10)),
+                max_components=self.detector.max_components,
+                max_words=max_words,
+                resize_to=resize_to,
+            )
+
+        spec = jax.ShapeDtypeStruct((batch_size, height, width, 3), jnp.uint8)
+        exported = jax_export.export(
+            jax.jit(serve),
+            platforms=list(platforms) if platforms else None,
+        )(spec)
+        with open(path + ".stablehlo", "wb") as f:
+            f.write(exported.serialize())
+        meta = {
+            "alphabet": self.recognizer.alphabet,
+            "scale": self.scale,
+            "height": height,
+            "width": width,
+            "batch_size": batch_size,
+            "max_words": max_words,
+            "ctc_time": int(
+                self.recognizer.build_params["width"]
+                // self.recognizer.build_params["pool_size"] ** 2
+                - self.recognizer.build_params["rnn_steps_to_discard"]
+            ),
+        }
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f)
+        return path + ".stablehlo"
+
+
+class ExportedPipeline:
+    """Serving wrapper for a :meth:`Pipeline.export` artifact.
+
+    Holds only the deserialized device program and host metadata — no
+    Flax modules, weight trees, or builders — and exposes the same
+    ``recognize(images) -> [[(word, box)]]`` contract for its static
+    (batch, height, width) envelope.
+    """
+
+    def __init__(self, exported, meta: dict):
+        self._exported = exported
+        self.meta = meta
+        self.alphabet = meta["alphabet"]
+
+    def recognize(self, images):
+        from ..ops import ctc as ctc_ops
+
+        height, width = self.meta["height"], self.meta["width"]
+        batch_size = self.meta["batch_size"]
+        assert len(images) <= batch_size, (
+            f"artifact serves batches of {batch_size}, got {len(images)}"
+        )
+        batch = np.zeros((batch_size, height, width, 3), dtype="uint8")
+        for i, image in enumerate(images):
+            image = tools.read(image)
+            assert image.shape[0] <= height and image.shape[1] <= width, (
+                f"image {image.shape} exceeds the exported envelope "
+                f"({height}, {width})"
+            )
+            batch[i] = tools.pad(image, width=width, height=height)
+        packed = np.asarray(self._exported.call(batch))[: len(images)]
+        boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
+        mask = packed[..., 8] > 0.5
+        decoded = packed[..., 9:].astype("int32")
+        results = []
+        for i in range(len(images)):
+            valid = mask[i]
+            words = ctc_ops.ctc_decode_to_strings(decoded[i][valid], self.alphabet)
+            image_boxes = boxes[i][valid].astype("float32") / self.meta["scale"]
+            results.append(list(zip(words, [box for box in image_boxes])))
+        return results
+
+
+def load_exported(path: str) -> ExportedPipeline:
+    """Load a :meth:`Pipeline.export` artifact (``<path>.stablehlo`` +
+    ``<path>.json``) into a serving-ready :class:`ExportedPipeline`."""
+    import json
+
+    from jax import export as jax_export
+
+    with open(path + ".stablehlo", "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    return ExportedPipeline(exported, meta)

@@ -373,3 +373,48 @@ def test_pipeline_non_uniform_scale_path():
     )
     for word, box in [groups[0][0], groups[1][0]]:
         assert isinstance(word, str) and box.shape == (4, 2)
+
+
+def test_export_roundtrip(tmp_path):
+    """Pipeline.export writes a self-contained serving artifact whose
+    results match the live pipeline exactly (weights baked in)."""
+    import os
+    import string
+
+    from keras_ocr_tpu.pipeline import load_exported
+
+    detector = Detector(weights=None, max_components=16)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector, recognizer=recognizer, scale=2, max_words=8,
+        pad_to=(64, 96),
+    )
+    detection_kwargs = {
+        "detection_threshold": -10.0,
+        "text_threshold": -10.0,
+        "link_threshold": 10.0,
+        "size_threshold": 1,
+    }
+    artifact = pipeline.export(
+        os.path.join(str(tmp_path), "ocr"), height=64, width=96,
+        batch_size=2, detection_kwargs=detection_kwargs,
+    )
+    assert os.path.getsize(artifact) > 1_000_000  # weights are baked in
+
+    served = load_exported(os.path.join(str(tmp_path), "ocr"))
+    rng = np.random.RandomState(7)
+    images = []
+    for _ in range(2):
+        image = np.zeros((64, 96, 3), dtype="uint8")
+        x, y = rng.randint(0, 40), rng.randint(0, 30)
+        image[y : y + 20, x : x + 50] = 255
+        images.append(image)
+    a = served.recognize(images)
+    b = pipeline.recognize(images=images, detection_kwargs=detection_kwargs)
+    assert len(a) == len(b) == 2
+    for pa, pb in zip(a, b):
+        assert [w for w, _ in pa] == [w for w, _ in pb]
+        for (_, ba), (_, bb) in zip(pa, pb):
+            np.testing.assert_allclose(ba, bb, atol=1e-4)
