@@ -182,6 +182,8 @@ def score(true, pred, iou_threshold=0.5, similarity_threshold=0.5, translator=No
             for true_positive in results["true_positives"]
         )
     )
-    precision = tps / (tps + fps)
-    recall = tps / (tps + fns)
+    # Degenerate guards (no predictions / no ground truth): the reference
+    # would raise ZeroDivisionError here; 0.0 is the conventional value.
+    precision = tps / (tps + fps) if (tps + fps) else 0.0
+    recall = tps / (tps + fns) if (tps + fns) else 0.0
     return results, (precision, recall)

@@ -45,23 +45,94 @@ def build_ground_truth(limit):
     return true
 
 
+def build_synthetic_ground_truth(limit, seed=0):
+    """Offline stand-in for COCO-Text: PIL-rendered words on blank scenes.
+
+    Exercises the COMPLETE benchmark harness (rendering -> pipeline ->
+    greedy-IoU/editdistance scoring) with known ground truth and no
+    network; with pretrained or fine-tuned weights the P/R is meaningful,
+    with random weights it smoke-tests the protocol.
+    """
+    from keras_ocr_tpu import tools as _tools
+    from keras_ocr_tpu.data import generation
+
+    rng = np.random.RandomState(seed)
+    words = ["event", "dock", "open", "text", "craft", "read"]
+    true = {}
+    images = {}
+    for index in range(limit):
+        text = " ".join(rng.choice(words, size=2, replace=False))
+        rendered, lines = generation.draw_text_image(
+            text=text, fontsize=24, height=240, width=320,
+            fonts={"".join(sorted(set(text))): None},
+        )
+        scene = np.full((240, 320, 3), 255, dtype="uint8")
+        alpha = rendered[..., 3:4].astype("float32") / 255
+        scene = (
+            scene * (1 - alpha) + rendered[..., :3].astype("float32") * alpha
+        ).astype("uint8")
+        anns = []
+        # Word-level ground truth via combine_line on each word's chars.
+        for line in lines:
+            word_chars = []
+            for box, character in line:
+                if character == " ":
+                    if word_chars:
+                        box_w, text_w = _tools.combine_line(word_chars)
+                        anns.append(
+                            {"text": text_w, "vertices": box_w, "ignore": False}
+                        )
+                    word_chars = []
+                else:
+                    word_chars.append((box, character))
+            if word_chars:
+                box_w, text_w = _tools.combine_line(word_chars)
+                anns.append({"text": text_w, "vertices": box_w, "ignore": False})
+        key = f"synthetic-{index}"
+        true[key] = anns
+        images[key] = scene
+    return true, images
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--limit", type=int, default=1000)
     parser.add_argument("--scale", type=int, default=2)
     parser.add_argument("--max-size", type=int, default=2048)
     parser.add_argument("--output", default="coco_text_results.json")
+    parser.add_argument(
+        "--synthetic", action="store_true",
+        help="use offline PIL-rendered scenes instead of COCO-Text",
+    )
     args = parser.parse_args()
 
-    true = build_ground_truth(args.limit)
+    if args.synthetic:
+        true, images = build_synthetic_ground_truth(args.limit)
+    else:
+        true = build_ground_truth(args.limit)
     # One static padded shape across the whole sweep: COCO images come in
     # many sizes and per-shape XLA compilation would otherwise dominate.
-    images = {filepath: tools.read(filepath) for filepath in true}
+    if not args.synthetic:
+        images = {filepath: tools.read(filepath) for filepath in true}
     pad_h = max(im.shape[0] for im in images.values())
     pad_w = max(im.shape[1] for im in images.values())
-    pipeline = keras_ocr_tpu.Pipeline(
-        scale=args.scale, max_size=args.max_size, pad_to=(pad_h, pad_w)
-    )
+    try:
+        pipeline = keras_ocr_tpu.Pipeline(
+            scale=args.scale, max_size=args.max_size, pad_to=(pad_h, pad_w)
+        )
+    except Exception:  # no network/cache: random weights (protocol smoke)
+        from keras_ocr_tpu.detection import Detector
+        from keras_ocr_tpu.recognition import Recognizer
+
+        pipeline = keras_ocr_tpu.Pipeline(
+            detector=Detector(weights=None),
+            recognizer=Recognizer(
+                weights=None, alphabet=string.digits + string.ascii_lowercase
+            ),
+            scale=args.scale,
+            max_size=args.max_size,
+            pad_to=(pad_h, pad_w),
+        )
 
     pred = {}
     latencies = []
