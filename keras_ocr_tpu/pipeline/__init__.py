@@ -99,6 +99,17 @@ class Pipeline:
         # from the input shardings alone.
         self.mesh = mesh
         self._spatial = False
+        if mesh is None:
+            # Pin weights on device once: host-resident variable trees
+            # (e.g. numpy arrays restored from a checkpoint or
+            # jax.device_get after training) would otherwise re-upload
+            # the full weight tree on EVERY call (~100 MB, ~600 ms).
+            self.detector.variables = jax.tree.map(
+                jnp.asarray, self.detector.variables
+            )
+            self.recognizer.variables = jax.tree.map(
+                jnp.asarray, self.recognizer.variables
+            )
         if mesh is not None:
             from ..parallel import mesh as mesh_lib
 
