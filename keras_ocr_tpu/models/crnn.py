@@ -197,7 +197,21 @@ class SpatialTransformer(nn.Module):
         y = y.reshape((batch, -1))
         y = nn.Dense(64, dtype=self.dtype, name="dense1")(y)
         y = nn.relu(y)
-        theta = nn.Dense(6, dtype=self.dtype, name="dense2")(y)
+        # Identity init (STN paper convention): zero kernel + identity
+        # bias, so an untrained localization net passes features through
+        # unchanged instead of warping them chaotically and stalling CTC
+        # training. Deliberate init-only deviation from the reference's
+        # default Dense init (recognition.py:277 uses glorot; loaded
+        # pretrained weights override init either way).
+        theta = nn.Dense(
+            6,
+            dtype=self.dtype,
+            name="dense2",
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                [1.0, 0.0, 0.0, 0.0, 1.0, 0.0], dtype
+            ),
+        )(y)
         theta = theta.reshape((batch, 2, 3)).astype(jnp.float32)
 
         # Sampling grid in [-1, 1] (recognition.py:61-94). linspace matches
