@@ -49,7 +49,7 @@ def save(path: str, variables) -> str:
         checkpointer.save(path, variables, force=True)
         checkpointer.wait_until_finished()
         return path
-    except (ImportError, Exception):  # noqa: BLE001 - fall back to npz
+    except Exception:  # noqa: BLE001 - orbax missing or failed: fall back to npz
         if not path.endswith(".npz"):
             path = path + ".npz"
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -78,6 +78,19 @@ def words_of(lines):
     return out
 
 
+def pooled(generator, count, seed):
+    """Pre-render a fixed sample pool once and cycle it shuffled.
+
+    PIL glyph rendering dominates wall time if done per step; a pool
+    makes training device-bound while keeping sample diversity.
+    """
+    pool = [next(generator) for _ in range(count)]
+    rng = random.Random(seed)
+    while True:
+        rng.shuffle(pool)
+        yield from pool
+
+
 def crop_generator(scenes, height, width):
     """Recognizer inputs: warpBox word crops from the SAME scene pipe."""
     for scene, lines, _ in scenes:
@@ -92,7 +105,8 @@ def crop_generator(scenes, height, width):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--detector-steps", type=int, default=200)
-    parser.add_argument("--recognizer-steps", type=int, default=2000)
+    parser.add_argument("--recognizer-steps", type=int, default=1200)
+    parser.add_argument("--pool-scenes", type=int, default=300)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--eval-scenes", type=int, default=32)
     parser.add_argument("--size", type=int, default=256)
@@ -102,7 +116,7 @@ def main():
     # ---- detector ----
     detector = Detector(weights=None, max_components=32)
     det_batches = detector.get_batch_generator(
-        scene_generator(args.size, args.size, seed=0),
+        pooled(scene_generator(args.size, args.size, seed=0), args.pool_scenes, 1),
         batch_size=args.batch_size,
     )
     det_trainer = DetectorTrainer(detector)
@@ -125,7 +139,13 @@ def main():
     )
     height, width, _ = recognizer.input_shape
     rec_batches = recognizer.get_batch_generator(
-        crop_generator(scene_generator(args.size, args.size, seed=7), height, width),
+        pooled(
+            crop_generator(
+                scene_generator(args.size, args.size, seed=7), height, width
+            ),
+            args.pool_scenes * 3 // 2,
+            2,
+        ),
         batch_size=max(args.batch_size, 32),
     )
     import jax
@@ -141,8 +161,12 @@ def main():
     recognizer.variables = jax.device_get(rec_trainer.variables)
 
     # ---- end-to-end benchmark on held-out scenes ----
+    # scale=1: the detector was trained at native scene resolution, and
+    # CNNs are not scale-invariant — the reference's scale=2 default
+    # exists to enlarge small real-world text, which synthetic scenes
+    # don't need. (The scale knob is exercised by the pipeline tests.)
     pipeline = Pipeline(
-        detector=detector, recognizer=recognizer, scale=2,
+        detector=detector, recognizer=recognizer, scale=1,
         pad_to=(args.size, args.size), max_words=16,
     )
     held_out = scene_generator(args.size, args.size, seed=12345)
@@ -164,6 +188,25 @@ def main():
 
     _, (precision, recall) = evaluation.score(
         true, pred, iou_threshold=0.5, similarity_threshold=0.5
+    )
+    # Detector-only diagnostic so recognition and localization failures
+    # are attributable separately.
+    from keras_ocr_tpu.evaluation import iou_score
+
+    det_hits = det_total = 0
+    for key in true:
+        for ann in true[key]:
+            det_total += 1
+            if any(
+                iou_score(ann["vertices"], p["vertices"]) >= 0.5
+                for p in pred[key]
+            ):
+                det_hits += 1
+    print(
+        f"detector-only recall@IoU0.5: {det_hits}/{det_total};"
+        f" sample predictions: {[p['text'] for p in pred['scene-0']]}"
+        f" vs truth {[a['text'] for a in true['scene-0']]}",
+        flush=True,
     )
     result = {
         "n_scenes": args.eval_scenes,

@@ -27,6 +27,10 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite's cost is dominated by XLA
 # recompiling the same pipeline/trainer programs every run. Cache compiled
 # executables on disk (keyed by HLO, so code changes still recompile).
+# Known rough edge: the CPU AOT loader warns about compile-vs-host machine
+# feature strings on load ("prefer-no-gather...") — harmless in normal
+# runs; one SIGABRT was observed only under extreme cross-process
+# contention. Delete the cache dir if aborts ever repeat in clean runs.
 _cache_dir = os.environ.get(
     "KERAS_OCR_TPU_TEST_CACHE", "/tmp/keras_ocr_tpu_xla_cache"
 )
