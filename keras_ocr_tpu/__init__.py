@@ -12,7 +12,10 @@ cropping / CTC decoding run on-device, and training scales over
 
 from . import config
 
-config.enable_compile_cache()
+# NOTE: the persistent XLA compile cache is enabled lazily at
+# Detector/Recognizer construction (see detection.py / recognition.py), not
+# at import: mutating global jax.config as an import side effect would
+# override embedding applications' own configuration.
 
 from . import tools  # noqa: E402
 from . import evaluation

@@ -88,6 +88,11 @@ def enable_compile_cache(directory: typing.Optional[str] = None) -> str:
                 os.path.expanduser("~"), ".cache", "keras_ocr_tpu", "xla_cache"
             ),
         )
+    if not directory:
+        # KERAS_OCR_TPU_COMPILE_CACHE="" is an explicit opt-out (used e.g.
+        # by the multichip dry run, which must not load executables that
+        # were AOT-compiled against a different backend).
+        return ""
     jax.config.update("jax_compilation_cache_dir", directory)
     return directory
 

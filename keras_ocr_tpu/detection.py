@@ -182,8 +182,10 @@ class Detector:
         compute_dtype=jnp.float32,
         max_components: int = 256,
     ):
+        from . import config as config_lib
         from . import weights as weights_lib
 
+        config_lib.enable_compile_cache()
         self.backbone_name = backbone_name
         self.optimizer_name = optimizer
         self.max_components = max_components

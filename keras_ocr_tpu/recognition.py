@@ -95,8 +95,10 @@ class Recognizer:
         build_params: typing.Optional[dict] = None,
         compute_dtype=jnp.float32,
     ):
+        from . import config as config_lib
         from . import weights as weights_lib
 
+        config_lib.enable_compile_cache()
         assert alphabet or weights, "At least one of alphabet or weights must be provided."
         if weights is not None:
             build_params = build_params or dict(DEFAULT_BUILD_PARAMS)
