@@ -112,7 +112,17 @@ class VGG16BN(nn.Module):
                 kernel=3,
                 relu=not last,
                 bn_eps=1e-5,
-                bn_momentum=0.1,
+                # torch BatchNorm momentum=0.1 updates running stats as
+                # ra = 0.9*ra + 0.1*x; Flax's ``momentum`` IS that 0.9
+                # decay factor (torchvision vgg16_bn default). NOTE the
+                # reference passes the literal 0.1 to Keras BatchNorm
+                # (/root/reference/keras_ocr/detection.py:95-96), whose
+                # momentum is ALSO the decay — i.e. the reference decays
+                # its running stats 81x faster than the torch original
+                # when fine-tuning. We match the original CRAFT/torch
+                # semantics; known deviation from the reference's
+                # (copied-number) fine-tuning behavior.
+                bn_momentum=0.9,
                 dtype=self.dtype,
                 name=f"{slice_name}_{idx}",
             )(x, train=train)

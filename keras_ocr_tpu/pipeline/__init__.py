@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import typing
+import warnings
 
 import numpy as np
 import jax
@@ -86,11 +87,18 @@ class Pipeline:
             word_buckets = (
                 (16, max_words) if max_words > 16 else (max_words,)
             )
-        assert word_buckets[-1] == max_words and list(word_buckets) == sorted(
+        if word_buckets[-1] != max_words or list(word_buckets) != sorted(
             set(word_buckets)
-        ), "word_buckets must be strictly increasing and end at max_words"
+        ):
+            raise ValueError(
+                "word_buckets must be strictly increasing and end at "
+                f"max_words={max_words}; got {tuple(word_buckets)}"
+            )
         self.word_buckets = tuple(int(b) for b in word_buckets)
         self._bucket_start = 0
+        # Per-call observability: bucket escalations + images whose word
+        # slots all filled at the top bucket (possible truncation).
+        self.last_run_stats = {"escalations": 0, "truncated_images": 0}
         self.size_bucket = size_bucket
         self.pad_to = pad_to
         # Optional data-parallel inference: shard the image batch over the
@@ -290,9 +298,11 @@ class Pipeline:
 
         num_real = len(batch)
         if self.mesh is not None:
-            # Pad the batch to a multiple of the data axis and shard it;
+            # Pad the batch to a multiple of ALL axes the batch dim is
+            # sharded over (data, plus slice on hybrid multi-slice meshes —
+            # batch_sharding uses P(("slice", "data")) there) and shard it;
             # every chip runs the fused program on its local shard.
-            data_size = self.mesh.shape["data"]
+            data_size = self.mesh.shape["data"] * self.mesh.shape.get("slice", 1)
             pad_rows = -num_real % data_size
             if pad_rows:
                 batch = np.concatenate(
@@ -337,9 +347,22 @@ class Pipeline:
         packed = np.asarray(packed_dev)[:num_real]
         while bool((packed[..., 8] > 0.5).all(axis=1).any()) and remaining:
             bucket = remaining.pop(0)
+            self.last_run_stats["escalations"] += 1
             packed = np.asarray(
                 self._launch(device_batch, detection_kwargs, bucket, resize_to)
             )[:num_real]
+        saturated = int((packed[..., 8] > 0.5).all(axis=1).sum()) if len(packed) else 0
+        if saturated:
+            # Every slot of the TOP bucket is used: scenes may hold more
+            # than max_words words and are being silently truncated in the
+            # reference-equivalent output (the reference has no cap).
+            self.last_run_stats["truncated_images"] += saturated
+            warnings.warn(
+                f"{saturated} image(s) filled all max_words={self.max_words} "
+                "word slots; results may be truncated. Raise Pipeline("
+                "max_words=...) for denser scenes.",
+                stacklevel=3,
+            )
         word_count = (
             int((packed[..., 8] > 0.5).sum(axis=1).max()) if len(packed) else 0
         )
@@ -375,9 +398,19 @@ class Pipeline:
     ):
         """Run the fused pipeline; returns a list of (word, box) lists.
 
-        (pipeline.py:28-75.)
+        (pipeline.py:28-75.) ``recognition_kwargs``, when given, are
+        forwarded to :meth:`Recognizer.recognize_from_boxes` exactly as the
+        reference forwards them (pipeline.py:58-65) — this takes the
+        two-stage path (device detect, host crop + device recognize)
+        instead of the single fused program, since the fused program bakes
+        the recognizer call in.
         """
         detection_kwargs = dict(detection_kwargs or {})
+        if recognition_kwargs:
+            return self._recognize_two_stage(
+                images, detection_kwargs, dict(recognition_kwargs)
+            )
+        self.last_run_stats = {"escalations": 0, "truncated_images": 0}
         device_batch, scales, num_real, resize_to = self._prepare(images)
         packed_dev = self._launch(
             device_batch,
@@ -389,6 +422,41 @@ class Pipeline:
             packed_dev, device_batch, detection_kwargs, resize_to, num_real
         )
         return self._finalize(packed, scales)
+
+    def _recognize_two_stage(self, images, detection_kwargs, recognition_kwargs):
+        """Reference-shaped path: detect, then recognize_from_boxes(**kwargs).
+
+        Mirrors /root/reference/keras_ocr/pipeline.py:40-75 — resize + pad
+        on host, device detect, host crops, device recognize — so
+        per-call recognizer options keep working.
+        """
+        if not isinstance(images, np.ndarray):
+            images = [tools.read(image) for image in images]
+        resized = [
+            tools.resize_image(image, max_scale=self.scale, max_size=self.max_size)
+            for image in images
+        ]
+        scales = [scale for _, scale in resized]
+        max_height = max(image.shape[0] for image, _ in resized)
+        max_width = max(image.shape[1] for image, _ in resized)
+        batch = np.array(
+            [
+                tools.pad(image, width=max_width, height=max_height)
+                for image, _ in resized
+            ]
+        )
+        box_groups = self.detector.detect(images=batch, **detection_kwargs)
+        prediction_groups = self.recognizer.recognize_from_boxes(
+            images=batch, box_groups=box_groups, **recognition_kwargs
+        )
+        box_groups = [
+            boxes / scale if scale != 1 else boxes
+            for boxes, scale in zip(box_groups, scales)
+        ]
+        return [
+            list(zip(predictions, [box for box in boxes]))
+            for predictions, boxes in zip(prediction_groups, box_groups)
+        ]
 
     def recognize_many(
         self,
@@ -407,6 +475,7 @@ class Pipeline:
         ``recognize`` called per chunk.
         """
         detection_kwargs = dict(detection_kwargs or {})
+        self.last_run_stats = {"escalations": 0, "truncated_images": 0}
         if not isinstance(images, (list, tuple)):
             images = list(images)
         inflight: typing.List[tuple] = []
@@ -529,16 +598,18 @@ class ExportedPipeline:
 
         height, width = self.meta["height"], self.meta["width"]
         batch_size = self.meta["batch_size"]
-        assert len(images) <= batch_size, (
-            f"artifact serves batches of {batch_size}, got {len(images)}"
-        )
+        if len(images) > batch_size:
+            raise ValueError(
+                f"artifact serves batches of {batch_size}, got {len(images)}"
+            )
         batch = np.zeros((batch_size, height, width, 3), dtype="uint8")
         for i, image in enumerate(images):
             image = tools.read(image)
-            assert image.shape[0] <= height and image.shape[1] <= width, (
-                f"image {image.shape} exceeds the exported envelope "
-                f"({height}, {width})"
-            )
+            if image.shape[0] > height or image.shape[1] > width:
+                raise ValueError(
+                    f"image {image.shape} exceeds the exported envelope "
+                    f"({height}, {width})"
+                )
             batch[i] = tools.pad(image, width=width, height=height)
         packed = np.asarray(self._exported.call(batch))[: len(images)]
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)

@@ -177,7 +177,18 @@ class Recognizer:
         Host-crop path with API parity to recognition.py:491-537 (all crops
         across all images batched into one device forward). The fully
         fused on-device crop path is used by ``Pipeline.recognize``.
+
+        Extra kwargs mirror the reference's pass-through to Keras
+        ``predict``: ``batch_size`` chunks the device forward (bounds
+        device memory for huge crop counts), ``verbose`` is accepted and
+        ignored; anything else raises.
         """
+        batch_size = kwargs.pop("batch_size", None)
+        kwargs.pop("verbose", None)
+        if kwargs:
+            raise TypeError(
+                f"Unsupported recognize_from_boxes kwargs: {sorted(kwargs)}"
+            )
         assert len(box_groups) == len(
             images
         ), "You must provide the same number of box groups as images."
@@ -202,7 +213,12 @@ class Recognizer:
         X = np.array(crops, dtype="float32") / 255
         if len(X.shape) == 3:
             X = X[..., np.newaxis]
-        predictions = self._predict_strings(X)
+        if batch_size is not None and batch_size < len(X):
+            predictions = []
+            for i in range(0, len(X), batch_size):
+                predictions.extend(self._predict_strings(X[i : i + batch_size]))
+        else:
+            predictions = self._predict_strings(X)
         return [predictions[start:end] for start, end in start_end]
 
     def compile(self, optimizer=None, learning_rate: float = 1e-3, mesh=None):

@@ -135,3 +135,96 @@ def test_craft_efficientnet_backbone():
     assert y.shape == (1, 32, 48, 2)
     # Non-VGG backbones get a sigmoid output head (detection.py:411-412).
     assert 0 <= float(np.asarray(y).min()) and float(np.asarray(y).max()) <= 1
+
+
+def test_convbn_train_stats_match_torch_momentum():
+    """Running-stat trajectories match torch BatchNorm2d(momentum=0.1).
+
+    The torch original updates ra = 0.9*ra + 0.1*batch_stat; Flax's
+    ``momentum`` is that 0.9 decay directly (the reference's Keras model
+    passes the literal 0.1 — a semantics inversion this framework does NOT
+    reproduce; see models/craft.py VGG16BN). torch stores the UNBIASED
+    batch variance in running_var while Flax (and Keras, hence the
+    pretrained weights) store the biased one, so the comparison corrects
+    torch's update by (n-1)/n.
+    """
+    from keras_ocr_tpu.models.craft import ConvBN
+
+    rng = np.random.RandomState(42)
+    module = ConvBN(features=8, kernel=3, bn_momentum=0.9, dtype=jnp.float32)
+    x0 = rng.uniform(-1, 1, (2, 16, 12, 4)).astype("float32")
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(x0), train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    tconv = torch.nn.Conv2d(4, 8, 3, padding=1)
+    tbn = torch.nn.BatchNorm2d(8, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tconv.weight.copy_(
+            torch.tensor(np.asarray(params["conv"]["kernel"]).transpose(3, 2, 0, 1))
+        )
+        tconv.bias.copy_(torch.tensor(np.asarray(params["conv"]["bias"])))
+        tbn.weight.copy_(torch.tensor(np.asarray(params["bn"]["scale"])))
+        tbn.bias.copy_(torch.tensor(np.asarray(params["bn"]["bias"])))
+    tbn.train()
+
+    n = 2 * 16 * 12  # reduction count per channel
+    torch_var_biased = None
+    for step in range(3):
+        x = rng.uniform(-1, 1, (2, 16, 12, 4)).astype("float32")
+        _, mutated = module.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x),
+            train=True,
+            mutable=["batch_stats"],
+        )
+        stats = mutated["batch_stats"]
+        with torch.no_grad():
+            h = tconv(torch.tensor(x.transpose(0, 3, 1, 2)))
+            batch_var_unbiased = h.var(dim=(0, 2, 3), unbiased=True)
+            tbn(h)
+        # Replay torch's running_var update with the biased batch variance
+        # (what Flax/Keras store).
+        biased = batch_var_unbiased.numpy() * (n - 1) / n
+        torch_var_biased = (
+            0.9 * (torch_var_biased if torch_var_biased is not None else np.ones(8))
+            + 0.1 * biased
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(stats["bn"]["mean"]),
+        tbn.running_mean.numpy(),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["bn"]["var"]), torch_var_biased, atol=1e-5, rtol=1e-5
+    )
+
+
+def test_vgg_backbone_train_stats_decay():
+    """One train step moves every VGG batch-stat by exactly (1-0.9) toward
+    the batch statistic — guarding the 0.1-vs-0.9 momentum inversion."""
+    model, variables = _init_variables(seed=5, height=32, width=32)
+    x = compute_input(
+        jnp.asarray(
+            np.random.RandomState(6).uniform(0, 255, (2, 32, 32, 3)).astype("float32")
+        )
+    )
+    _, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    before = variables["batch_stats"]["basenet"]["slice1_0"]["bn"]["mean"]
+    after = mutated["batch_stats"]["basenet"]["slice1_0"]["bn"]["mean"]
+    # ra' = 0.9*ra + 0.1*mu  =>  (ra' - 0.9*ra) / 0.1 = mu, finite & sane.
+    mu = (np.asarray(after) - 0.9 * np.asarray(before)) / 0.1
+    # Recompute mu directly from the conv output of the first block.
+    params = variables["params"]["basenet"]["slice1_0"]["conv"]
+    conv_out = jax.lax.conv_general_dilated(
+        x,
+        params["kernel"],
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["bias"]
+    expected_mu = np.asarray(conv_out).mean(axis=(0, 1, 2))
+    np.testing.assert_allclose(mu, expected_mu, atol=1e-4, rtol=1e-4)

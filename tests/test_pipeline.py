@@ -418,3 +418,90 @@ def test_export_roundtrip(tmp_path):
         assert [w for w, _ in pa] == [w for w, _ in pb]
         for (_, ba), (_, bb) in zip(pa, pb):
             np.testing.assert_allclose(ba, bb, atol=1e-4)
+
+
+def test_recognition_kwargs_two_stage_path(random_pipeline):
+    """recognition_kwargs must be honored (reference pipeline.py:58-65):
+    passing a supported kwarg takes the two-stage path; an unsupported one
+    raises instead of being silently ignored."""
+    rng = np.random.RandomState(3)
+    image = rng.randint(0, 255, size=(64, 80, 3), dtype="uint8")
+    groups = random_pipeline.recognize(
+        images=[image], recognition_kwargs={"batch_size": 4, "verbose": 0}
+    )
+    assert len(groups) == 1
+    for word, box in groups[0]:
+        assert isinstance(word, str) and box.shape == (4, 2)
+    with pytest.raises(TypeError):
+        random_pipeline.recognize(
+            images=[image], recognition_kwargs={"nonsense_option": 1}
+        )
+
+
+def test_recognize_from_boxes_batch_size_chunking(random_pipeline):
+    """Chunked device forwards must produce identical strings."""
+    rng = np.random.RandomState(4)
+    image = rng.randint(0, 255, size=(64, 80, 3), dtype="uint8")
+    boxes = np.array(
+        [
+            [[2, 2], [40, 2], [40, 20], [2, 20]],
+            [[10, 30], [70, 30], [70, 50], [10, 50]],
+            [[5, 40], [60, 40], [60, 60], [5, 60]],
+        ],
+        dtype="float32",
+    )
+    recognizer = random_pipeline.recognizer
+    full = recognizer.recognize_from_boxes([image], [boxes])
+    chunked = recognizer.recognize_from_boxes([image], [boxes], batch_size=2)
+    assert full == chunked
+
+
+def test_pipeline_invalid_word_buckets_raise():
+    with pytest.raises(ValueError):
+        keras_ocr_tpu.Pipeline(
+            detector=Detector(weights=None, max_components=8),
+            recognizer=Recognizer(
+                weights=None, alphabet=keras_ocr_tpu.recognition.DEFAULT_ALPHABET
+            ),
+            max_words=16,
+            word_buckets=(16, 8),
+        )
+
+
+def test_pipeline_truncation_stats(random_pipeline):
+    """last_run_stats must report escalations/truncation; a sparse scene
+    reports zero of both."""
+    image = np.zeros((64, 64, 3), dtype="uint8") + 255
+    random_pipeline.recognize(images=[image])
+    stats = random_pipeline.last_run_stats
+    assert set(stats) == {"escalations", "truncated_images"}
+    assert stats["escalations"] >= 0 and stats["truncated_images"] >= 0
+
+
+def test_hybrid_mesh_batch_padding():
+    """ADVICE r1: on a (slice=2, data=2, model=2) hybrid mesh the batch must
+    pad to slice*data (=4), not just data (=2)."""
+    import jax
+
+    from keras_ocr_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = mesh_lib.create_hybrid_mesh(dcn_data=2, ici_shape=(2, 2))
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=Detector(weights=None, max_components=16),
+        recognizer=Recognizer(
+            weights=None, alphabet=keras_ocr_tpu.recognition.DEFAULT_ALPHABET
+        ),
+        scale=2,
+        max_size=256,
+        max_words=16,
+        mesh=mesh,
+    )
+    rng = np.random.RandomState(0)
+    # 2 images: indivisible by slice*data=4 without padding.
+    images = [
+        rng.randint(0, 255, size=(48, 48, 3), dtype="uint8") for _ in range(2)
+    ]
+    groups = pipeline.recognize(images=images)
+    assert len(groups) == 2
