@@ -342,13 +342,134 @@ def convert_image_generator_to_recognizer_input(
             yield crop, sentence
 
 
-def _char_metrics(font: PIL.ImageFont.FreeTypeFont, character: str):
+class _Glyph(typing.NamedTuple):
+    """A measured, font-resolved character ready for layout.
+
+    ``pieces`` is the text the glyph contributes to the label: the
+    character itself, or the expansion of a ligature codepoint ("fi"/"fl"
+    for U+FB01/U+FB02) — each piece gets its own equal-width box.
+    """
+
+    char: str
+    pieces: str
+    font: PIL.ImageFont.ImageFont
+    size: typing.Tuple[float, float]  # rendered (width, height)
+    offset: typing.Tuple[float, float]  # rendering (dx, dy) inside the cell
+
+
+def _measure(font, character):
     """((width, height), (offset_x, offset_y)) like PIL's font.font.getsize."""
     try:
         return font.font.getsize(character)
     except AttributeError:
         left, top, right, bottom = font.getbbox(character)
         return (right - left, bottom - top), (left, top)
+
+
+def _open_font(font_path, fontsize):
+    if font_path is None:
+        return PIL.ImageFont.load_default()
+    return PIL.ImageFont.truetype(font_path, size=fontsize)
+
+
+def _resolve_glyphs(text, fonts, fontsize, use_ligatures):
+    """Turn a string + {subalphabet: font path} mapping into _Glyphs.
+
+    Characters covered by no font group are dropped (reference behavior).
+    With ligatures enabled, groups whose font can render U+FB01/U+FB02
+    have those codepoints appended to their coverage and occurrences of
+    "fi"/"fl" in the text are collapsed to single ligature glyphs.
+    """
+    table = []  # (coverage string, opened font)
+    for subalphabet, font_path in fonts.items():
+        font = _open_font(font_path, fontsize)
+        coverage = subalphabet
+        if use_ligatures:
+            try:
+                for codepoint in LIGATURES:
+                    _measure(font, codepoint)
+            except (UnicodeEncodeError, OSError):
+                pass
+            else:
+                coverage = coverage + LIGATURE_STRING
+        table.append((coverage, font))
+    if use_ligatures:
+        for codepoint, plain in LIGATURES.items():
+            if any(codepoint in coverage for coverage, _ in table):
+                text = text.replace(plain, codepoint)
+
+    glyphs = []
+    for character in text:
+        font = next(
+            (font for coverage, font in table if character in coverage), None
+        )
+        if font is None:
+            continue
+        size, offset = _measure(font, character)
+        glyphs.append(
+            _Glyph(
+                char=character,
+                pieces=LIGATURES.get(character, character),
+                font=font,
+                size=size,
+                offset=offset,
+            )
+        )
+    return glyphs
+
+
+class _FlowLayout:
+    """Left-to-right glyph placement inside an arbitrary polygon.
+
+    Maintains a cursor that advances by ``step`` (the fontsize) whenever a
+    candidate cell collides with the polygon boundary, wrapping to the
+    row below the tallest glyph placed so far when the cursor passes the
+    polygon's right extent. Any collision-driven move also starts a new
+    output line (matching the reference layout, data_generation.py:442-459,
+    where every dodge closes the current line).
+    """
+
+    def __init__(self, polygon: np.ndarray, step: float):
+        self._tester = _PolygonTester(polygon)
+        self._min_xy = polygon.min(axis=0)
+        self._max_xy = polygon.max(axis=0)
+        self.x, self.y = self._min_xy
+        self._row_floor = self.y  # lowest extent of glyphs placed so far
+        self.exhausted = False
+        self.line_break_pending = False
+
+    def _cell_fits(self, glyph):
+        right = self.x + glyph.size[0] + glyph.offset[0]
+        bottom = self.y + glyph.size[1] + glyph.offset[1]
+        corners = np.array(
+            [
+                [self.x, self.y],
+                [right, self.y],
+                [right, bottom],
+                [self.x, bottom],
+            ],
+            dtype="float64",
+        )
+        return bool(self._tester.contains(corners).all()), right
+
+    def place(self, glyph, step):
+        """Find the next position fitting ``glyph``; None once out of room."""
+        while True:
+            fits, right_edge = self._cell_fits(glyph)
+            if fits:
+                break
+            if right_edge > self._max_xy[0]:
+                descend = max(1, self._row_floor - self.y)
+                if self.y + descend > self._max_xy[1]:
+                    self.exhausted = True
+                    return None
+                self.y += descend
+                self.x = self._min_xy[0]
+            else:
+                self.x += step
+            self.line_break_pending = True
+        self._row_floor = max(self.y + glyph.size[1] + glyph.offset[1], self._row_floor)
+        return self.x, self.y
 
 
 def draw_text_image(
@@ -367,142 +488,90 @@ def draw_text_image(
 ):
     """Render text into a transparent canvas, tracking character boxes.
 
-    Behavior parity with data_generation.py:317-494: glyphs are laid out
-    left-to-right inside the (pre-transformed) permitted contour,
-    advancing by fontsize on collisions and wrapping to new lines; the
-    canvas is then perspective-warped by the 3-D rotation matrix and the
-    tracked character boxes are transformed along with it. Ligature (fi/fl)
-    splitting is supported.
+    Behavior parity with the reference renderer
+    (data_generation.py:317-494): glyphs flow left-to-right inside the
+    (pre-transformed) permitted contour, dodging by ``fontsize`` on
+    collisions and wrapping to new rows; the canvas is then
+    perspective-warped by the 3-D rotation matrix and the tracked
+    character boxes transformed along with it. Ligature (fi/fl) glyphs
+    are split back into per-letter boxes.
 
     Returns (RGBA image, lines) where lines are lists of (box(4,2), char).
     """
-    if not use_ligatures:
-        fonts = {
-            subalphabet: PIL.ImageFont.truetype(font_path, size=fontsize)
-            if font_path is not None
-            else PIL.ImageFont.load_default()
-            for subalphabet, font_path in fonts.items()
-        }
-    else:
-        updated = {}
-        for subalphabet, font_path in fonts.items():
-            font = (
-                PIL.ImageFont.truetype(font_path, size=fontsize)
-                if font_path is not None
-                else PIL.ImageFont.load_default()
-            )
-            try:
-                for ligature in LIGATURES:
-                    _char_metrics(font, ligature)
-                subalphabet += LIGATURE_STRING
-            except (UnicodeEncodeError, OSError):
-                pass
-            updated[subalphabet] = font
-        fonts = updated
-        for insert, search in LIGATURES.items():
-            if any(insert in subalphabet for subalphabet in fonts):
-                text = text.replace(search, insert)
-    character_font_pairs = [
-        (
-            character,
-            next(font for subalphabet, font in fonts.items() if character in subalphabet),
-        )
-        for character in text
-        if any(character in subalphabet for subalphabet in fonts)
-    ]
-    M = get_rotation_matrix(
+    empty = np.zeros((height, width, 4), dtype="uint8")
+    glyphs = _resolve_glyphs(text, fonts, fontsize, use_ligatures)
+    rotation = get_rotation_matrix(
         width=width, height=height, thetaZ=thetaZ, thetaX=thetaX, thetaY=thetaY
     )
     if permitted_contour is None:
         permitted_contour = np.array(
-            [[0, 0], [width, 0], [width, height], [0, height]]
-        ).astype("float32")
-    if not character_font_pairs:
-        return (
-            np.zeros((height, width, 4), dtype="uint8"),
-            [],
+            [[0, 0], [width, 0], [width, height], [0, height]], dtype="float32"
         )
-    character_sizes = np.array(
-        [_char_metrics(font, character) for character, font in character_font_pairs]
+    if not glyphs:
+        return empty, []
+
+    # Smallest rendered extent (width+dx or height+dy) across all glyphs —
+    # sets the slot spacing of the flow region like the reference's
+    # character_sizes.sum(axis=1).min().
+    smallest_cell = min(
+        min(g.size[0] + g.offset[0], g.size[1] + g.offset[1]) for g in glyphs
     )
-    min_character_size = character_sizes.sum(axis=1).min()
-    transformed_contour = compute_transformed_contour(
+    flow_region = compute_transformed_contour(
         width=width,
         height=height,
-        fontsize=max(int(min_character_size), 1),
-        M=M,
+        fontsize=max(int(smallest_cell), 1),
+        M=rotation,
         contour=permitted_contour,
     )
-    if transformed_contour is None or len(transformed_contour) < 3:
-        return np.zeros((height, width, 4), dtype="uint8"), []
-    tester = _PolygonTester(transformed_contour)
-    start_x = transformed_contour[:, 0].min()
-    start_y = transformed_contour[:, 1].min()
-    end_x = transformed_contour[:, 0].max()
-    end_y = transformed_contour[:, 1].max()
-    image = PIL.Image.new(mode="RGBA", size=(width, height), color=(255, 255, 255, 0))
-    draw = PIL.ImageDraw.Draw(image)
-    lines_raw: typing.List[typing.List[typing.Tuple[np.ndarray, str]]] = [[]]
-    x = start_x
-    y = start_y
-    max_y = start_y
-    out_of_space = False
-    for character_index, (character, font) in enumerate(character_font_pairs):
-        if out_of_space:
+    if flow_region is None or len(flow_region) < 3:
+        return empty, []
+
+    canvas = PIL.Image.new(mode="RGBA", size=(width, height), color=(255, 255, 255, 0))
+    pen = PIL.ImageDraw.Draw(canvas)
+    ink = tuple(color) + (255,)
+    layout = _FlowLayout(flow_region, step=fontsize)
+    lines: typing.List[typing.List[typing.Tuple[np.ndarray, str]]] = [[]]
+    for glyph in glyphs:
+        position = layout.place(glyph, step=fontsize)
+        if position is None:
             break
-        (character_width, character_height), (offset_x, offset_y) = character_sizes[
-            character_index
-        ]
-        if character in LIGATURES:
-            subcharacters = LIGATURES[character]
-            dx = character_width / len(subcharacters)
-        else:
-            subcharacters = character
-            dx = character_width
-        x2, y2 = (x + character_width + offset_x, y + character_height + offset_y)
-        while not tester.contains(
-            np.array([[x, y], [x2, y], [x2, y2], [x, y2]], dtype="float64")
-        ).all():
-            if x2 > end_x:
-                dy = max(1, max_y - y)
-                if y + dy > end_y:
-                    out_of_space = True
-                    break
-                y += dy
-                x = start_x
-            else:
-                x += fontsize
-            if len(lines_raw[-1]) > 0:
-                lines_raw.append([])
-            x2, y2 = (x + character_width + offset_x, y + character_height + offset_y)
-        if out_of_space:
-            break
-        max_y = max(y + character_height + offset_y, max_y)
-        draw.text(xy=(x, y), text=character, fill=tuple(color) + (255,), font=font)
-        for subcharacter in subcharacters:
-            lines_raw[-1].append(
-                (
-                    np.array(
-                        [
-                            [x + offset_x, y + offset_y],
-                            [x + dx + offset_x, y + offset_y],
-                            [x + dx + offset_x, y2],
-                            [x + offset_x, y2],
-                        ]
-                    ).astype("float32"),
-                    subcharacter,
-                )
+        if layout.line_break_pending:
+            if lines[-1]:
+                lines.append([])
+            layout.line_break_pending = False
+        gx, gy = position
+        pen.text(xy=(gx, gy), text=glyph.char, fill=ink, font=glyph.font)
+        # Each piece of the glyph (one for plain chars, two for ligatures)
+        # gets an equal horizontal share of the rendered cell.
+        ox, oy = glyph.offset
+        piece_w = glyph.size[0] / len(glyph.pieces)
+        bottom = gy + glyph.size[1] + oy
+        for i, piece in enumerate(glyph.pieces):
+            left = gx + i * piece_w
+            cell = np.array(
+                [
+                    [left + ox, gy + oy],
+                    [left + piece_w + ox, gy + oy],
+                    [left + piece_w + ox, bottom],
+                    [left + ox, bottom],
+                ],
+                dtype="float32",
             )
-            x += dx
-    image = tools.warp_perspective(np.array(image), M, dsize=(width, height))
+            lines[-1].append((cell, piece))
+        layout.x = gx + glyph.size[0]
+
+    image = tools.warp_perspective(np.array(canvas), rotation, dsize=(width, height))
     if draw_contour:
-        image = _draw_polygon(image, permitted_contour, color=(255, 0, 0, 255), thickness=max(int(width / 100), 1))
-    lines_stripped = _strip_lines(lines_raw)
-    lines_transformed = [
-        [(_transform_points(coords, M), character) for coords, character in line]
-        for line in lines_stripped
+        image = _draw_polygon(
+            image,
+            permitted_contour,
+            color=(255, 0, 0, 255),
+            thickness=max(int(width / 100), 1),
+        )
+    return image, [
+        [(_transform_points(cell, rotation), piece) for cell, piece in line]
+        for line in _strip_lines(lines)
     ]
-    return image, lines_transformed
 
 
 def _draw_polygon(image, polygon, color, thickness):
@@ -513,64 +582,117 @@ def _draw_polygon(image, polygon, color, thickness):
     return np.array(canvas)
 
 
+def _shoelace_area(quads: np.ndarray) -> np.ndarray:
+    """|area| of each (N, 4, 2) quadrilateral via the shoelace formula."""
+    x, y = quads[..., 0], quads[..., 1]
+    x_next, y_next = np.roll(x, -1, axis=-1), np.roll(y, -1, axis=-1)
+    return np.abs((x * y_next - x_next * y).sum(axis=-1)) / 2
+
+
+def _slot_grid(width, height, spacing):
+    """Top-left corners (K, 2) of a spacing-pitch cell grid, or None."""
+    cols = width // spacing
+    rows = height // spacing
+    if cols < 1 or rows < 1:
+        return None
+    gx = np.arange(cols) * spacing
+    gy = np.arange(rows) * spacing
+    corners = np.stack(np.meshgrid(gx, gy), axis=-1)  # (rows, cols, 2)
+    return corners.reshape(-1, 2)
+
+
 def compute_transformed_contour(width, height, fontsize, M, contour, minarea=0.5):
     """Pre-transform drawing contour: which character slots stay visible.
 
-    (data_generation.py:497-574: spacing grid of fontsize/2 slots,
-    transformed by M, kept if inside the contour and not overly
-    shrunk, dilated and merged into the connected region containing the
-    first surviving slot.)
+    Behavior parity with data_generation.py:497-574: lay a grid of
+    fontsize/2-pitch square cells over the untransformed canvas, push
+    each cell through ``M``, keep those that land fully inside
+    ``contour`` without excessive shrinkage, then return the boundary of
+    the connected region (after a spacing-wide dilation and hole fill)
+    containing the first surviving cell.
     """
     spacing = math.ceil(fontsize / 2)
-    xslots = int(np.floor(width / spacing))
-    yslots = int(np.floor(height / spacing))
-    if xslots < 1 or yslots < 1:
+    origins = _slot_grid(width, height, spacing)
+    if origins is None:
         return None
-    ys, xs = np.mgrid[:yslots, :xslots]
-    basis = np.concatenate([xs[..., np.newaxis], ys[..., np.newaxis]], axis=-1).reshape(
-        (-1, 2)
+    # Cell corner order: tl, tr, br, bl — matches the winding the area
+    # test expects.
+    corner_offsets = np.array(
+        [[0, 0], [spacing, 0], [spacing, spacing], [0, spacing]], dtype="float64"
     )
-    basis = basis * spacing
-    slots_pretransform = np.concatenate(
-        [
-            (basis + offset)[:, np.newaxis, :]
-            for offset in [[0, 0], [spacing, 0], [spacing, spacing], [0, spacing]]
-        ],
-        axis=1,
-    ).astype("float64")
-    slots = _transform_points(slots_pretransform.reshape(-1, 2), M)
-    tester = _PolygonTester(contour)
-    inside = tester.contains(slots).reshape(-1, 4).all(axis=1)
-    slots = slots.reshape(-1, 4, 2)
-    areas = (
-        np.abs(
-            (slots[:, 0, 0] * slots[:, 1, 1] - slots[:, 0, 1] * slots[:, 1, 0])
-            + (slots[:, 1, 0] * slots[:, 2, 1] - slots[:, 1, 1] * slots[:, 2, 0])
-            + (slots[:, 2, 0] * slots[:, 3, 1] - slots[:, 2, 1] * slots[:, 3, 0])
-            + (slots[:, 3, 0] * slots[:, 0, 1] - slots[:, 3, 1] * slots[:, 0, 0])
-        )
-        / 2
+    cells = origins[:, None, :].astype("float64") + corner_offsets[None, :, :]
+    warped = _transform_points(cells.reshape(-1, 2), M).reshape(-1, 4, 2)
+
+    fully_inside = (
+        _PolygonTester(contour).contains(warped.reshape(-1, 2)).reshape(-1, 4).all(axis=1)
     )
-    keep = (areas > minarea * spacing * spacing) & inside
-    slots_filtered = slots_pretransform[keep]
-    if len(slots_filtered) == 0:
+    not_shrunk = _shoelace_area(warped) > minarea * spacing * spacing
+    survivors = origins[fully_inside & not_shrunk]
+    if len(survivors) == 0:
         return None
-    # Rasterize the surviving (axis-aligned, pre-transform) slots, dilate
-    # by the spacing, and keep the region containing the first slot.
+
+    # Paint each surviving (pre-transform, axis-aligned) cell into a mask.
     mask = np.zeros((height, width), dtype=bool)
-    for quad in slots_filtered:
-        x0, y0 = quad[0]
-        x1b = min(int(x0) + spacing + 1, width)
-        y1b = min(int(y0) + spacing + 1, height)
-        mask[int(y0) : y1b, int(x0) : x1b] = True
+    for cx, cy in survivors:
+        mask[
+            int(cy) : min(int(cy) + spacing + 1, height),
+            int(cx) : min(int(cx) + spacing + 1, width),
+        ] = True
     mask = _ndimage.binary_dilation(mask, structure=np.ones((spacing, spacing)))
     labels, _ = _ndimage.label(mask, structure=np.ones((3, 3)))
-    x, y = slots_filtered[0][0]
-    seed_label = labels[min(int(y), height - 1), min(int(x), width - 1)]
-    if seed_label == 0:
+    seed_x, seed_y = survivors[0]
+    seed = labels[min(int(seed_y), height - 1), min(int(seed_x), width - 1)]
+    if seed == 0:
         return None
-    region = _ndimage.binary_fill_holes(labels == seed_label)
-    return _trace_boundary(region)
+    return _trace_boundary(_ndimage.binary_fill_holes(labels == seed))
+
+
+def _sample_size(value):
+    """A fixed size, or an integer draw from a [lo, hi) pair."""
+    if isinstance(value, tuple):
+        return int(np.random.randint(low=value[0], high=value[1]))
+    return value
+
+
+def _sample_angle(value):
+    """A fixed angle, or a continuous uniform draw from a (lo, hi) pair."""
+    if isinstance(value, tuple):
+        return float(np.random.uniform(low=value[0], high=value[1]))
+    return value
+
+
+class _RoundRobin:
+    """Endless pointer over a list; ``advance`` returns the next element."""
+
+    def __init__(self, items):
+        self._items = list(items)
+        self._pos = -1
+
+    def advance(self):
+        self._pos = (self._pos + 1) % len(self._items)
+        return self._items[self._pos]
+
+    @property
+    def wrapped(self):
+        return self._pos == 0
+
+
+def _stage_background(source, width, height, crop_mode, augmenter):
+    """Load, augment, and fit one background to the canvas size."""
+    background = tools.read(source) if isinstance(source, str) else source
+    if augmenter is not None:
+        background = augmenter(images=[background])[0]
+    if background.shape[:2] != (height, width):
+        background = tools.fit(background, width=width, height=height, mode=crop_mode)
+    return background
+
+
+def _ink_color(is_dark_region):
+    """Near-black ink on light regions, near-white on dark ones."""
+    jitter = np.random.randint(low=0, high=50, size=3)
+    if is_dark_region:
+        return tuple(np.array([255, 255, 255]) - jitter)
+    return tuple(jitter)
 
 
 def get_image_generator(
@@ -592,7 +714,13 @@ def get_image_generator(
 ):
     """Full scene compositor: backgrounds + rendered text + boxes.
 
-    (data_generation.py:577-726.)
+    Same contract as the reference compositor
+    (data_generation.py:577-726): each yielded scene pairs the next
+    sentence from ``text_generator`` with the next background (the
+    background list is reshuffled once per full pass) and one font per
+    group (each group cycles through its files independently), renders
+    the text into the largest uniform region, and alpha-blends it over
+    the background. Yields (image, lines).
     """
     if backgrounds is None:
         backgrounds = [np.zeros((height, width, 3), dtype="uint8")]
@@ -600,86 +728,51 @@ def get_image_generator(
     assert len(set(alphabet)) == len(
         alphabet
     ), "Each character can appear in the subalphabet for only one font group."
-    for text, background_index, current_font_groups in zip(
-        text_generator,
-        itertools.cycle(range(len(backgrounds))),
-        zip(
-            *[
-                itertools.cycle(
-                    [
-                        (subalphabet, font_filepath)
-                        for font_filepath in font_group_filepaths
-                    ]
-                )
-                for subalphabet, font_group_filepaths in font_groups.items()
-            ]
-        ),
-    ):
-        if background_index == 0:
+    background_order = _RoundRobin(range(len(backgrounds)))
+    font_pickers = {
+        subalphabet: _RoundRobin(files) for subalphabet, files in font_groups.items()
+    }
+    for text in text_generator:
+        background_index = background_order.advance()
+        if background_order.wrapped:
             random.shuffle(backgrounds)
-        current_font_groups = dict(current_font_groups)
-        current_font_size = (
-            np.random.randint(low=font_size[0], high=font_size[1])
-            if isinstance(font_size, tuple)
-            else font_size
+        scene_fonts = {
+            subalphabet: picker.advance()
+            for subalphabet, picker in font_pickers.items()
+        }
+        scene_font_size = _sample_size(font_size)
+        theta_x, theta_y, theta_z = (
+            math.radians(_sample_angle(rotation))
+            for rotation in (rotationX, rotationY, rotationZ)
         )
-        current_rotation_x, current_rotation_y, current_rotation_z = [
-            (
-                np.random.uniform(low=rotation[0], high=rotation[1])
-                if isinstance(rotation, tuple)
-                else rotation
-            )
-            * np.pi
-            / 180
-            for rotation in [rotationX, rotationY, rotationZ]
-        ]
-        current_background_filepath_or_array = backgrounds[background_index]
-        current_background = (
-            tools.read(current_background_filepath_or_array)
-            if isinstance(current_background_filepath_or_array, str)
-            else current_background_filepath_or_array
+        background = _stage_background(
+            backgrounds[background_index],
+            width=width,
+            height=height,
+            crop_mode=background_crop_mode,
+            augmenter=augmenter,
         )
-        if augmenter is not None:
-            current_background = augmenter(images=[current_background])[0]
-        if (
-            current_background.shape[0] != height
-            or current_background.shape[1] != width
-        ):
-            current_background = tools.fit(
-                current_background,
-                width=width,
-                height=height,
-                mode=background_crop_mode,
-            )
         permitted_contour, is_dark = get_maximum_uniform_contour(
-            image=current_background, fontsize=current_font_size, margin=margin
+            image=background, fontsize=scene_font_size, margin=margin
         )
         if permitted_contour is None:
             continue
-        random_color_values = np.random.randint(low=0, high=50, size=3)
-        text_color = (
-            tuple(np.array([255, 255, 255]) - random_color_values)
-            if is_dark
-            else tuple(random_color_values)
-        )
         text_image, lines = draw_text_image(
             text=text,
             width=width,
             height=height,
-            fontsize=current_font_size,
-            fonts=current_font_groups,
-            thetaX=current_rotation_x,
-            thetaY=current_rotation_y,
-            thetaZ=current_rotation_z,
+            fontsize=scene_font_size,
+            fonts=scene_fonts,
+            thetaX=theta_x,
+            thetaY=theta_y,
+            thetaZ=theta_z,
             use_ligatures=use_ligatures,
             permitted_contour=permitted_contour,
-            color=text_color,
+            color=_ink_color(is_dark),
             draw_contour=draw_contour_text,
         )
         alpha = text_image[..., -1:].astype("float32") / 255
-        image = (alpha * text_image[..., :3] + (1 - alpha) * current_background).astype(
-            "uint8"
-        )
+        image = (alpha * text_image[..., :3] + (1 - alpha) * background).astype("uint8")
         if draw_contour:
             image = _draw_polygon(
                 image,

@@ -254,8 +254,27 @@ class SpatialTransformer(nn.Module):
         w_x = axis_weights(sx, x0c, x1c, width)  # (B, P, W)
         w_y = axis_weights(sy, y0c, y1c, height)  # (B, P, H)
         feats = x.astype(jnp.float32)
-        t = jnp.einsum("bph,bhwc->bpwc", w_y, feats)
-        out = jnp.einsum("bpw,bpwc->bpc", w_x, t)
+        # precision=HIGHEST: the bilinear weights and features must multiply
+        # in full fp32 even when the surrounding model computes in bf16 —
+        # JAX's default TPU matmul precision would round the fp32 operands
+        # to bf16 and drift from the reference's gather-based sampling.
+        # Contract the larger spatial axis first so the (B, P, ·, C)
+        # intermediate stays as small as possible (P = H*W; at CRNN shapes
+        # ~ B x 350 x min(H,W) x 512 fp32 ≈ 2.9 MB per crop).
+        if height >= width:
+            t = jnp.einsum(
+                "bph,bhwc->bpwc", w_y, feats, precision=jax.lax.Precision.HIGHEST
+            )
+            out = jnp.einsum(
+                "bpw,bpwc->bpc", w_x, t, precision=jax.lax.Precision.HIGHEST
+            )
+        else:
+            t = jnp.einsum(
+                "bpw,bhwc->bphc", w_x, feats, precision=jax.lax.Precision.HIGHEST
+            )
+            out = jnp.einsum(
+                "bph,bphc->bpc", w_y, t, precision=jax.lax.Precision.HIGHEST
+            )
         return out.reshape((batch, height, width, channels)).astype(self.dtype)
 
 

@@ -13,6 +13,7 @@ keeps API parity for standalone use.
 
 from __future__ import annotations
 
+import itertools
 import string
 import typing
 
@@ -240,55 +241,72 @@ class Recognizer:
 
     # -- training data -----------------------------------------------------
 
-    def get_batch_generator(self, image_generator, batch_size=8, lowercase=False):
-        """Yield ((images, labels, input_length, label_length), zeros) batches.
-
-        Same contract and validation as recognition.py:406-465; feeds
-        :mod:`keras_ocr_tpu.train.recognizer`.
-        """
-        y = np.zeros((batch_size, 1))
-        max_string_length = (
+    def max_string_length(self) -> int:
+        """CTC frame count T = W / pool^2 - discarded steps: the longest
+        label this model can emit."""
+        return int(
             self.build_params["width"] // self.build_params["pool_size"] ** 2
             - self.build_params["rnn_steps_to_discard"]
         )
-        height, width, channels = self.input_shape
-        while True:
-            batch = [sample for sample, _ in zip(image_generator, range(batch_size))]
-            if channels != 3:
-                images = [
-                    rgb_to_grayscale_host(sample[0])[..., np.newaxis] for sample in batch
-                ]
-            else:
-                images = [sample[0] for sample in batch]
-            images = np.array([image.astype("float32") / 255 for image in images])
-            sentences = [sample[1].strip() for sample in batch]
-            if lowercase:
-                sentences = [sentence.lower() for sentence in sentences]
-            for c in "".join(sentences):
-                assert c in self.alphabet, f"Found illegal character: {c}"
-            assert all(sentences), "Found a zero length sentence."
-            assert all(
-                len(sentence) <= max_string_length for sentence in sentences
-            ), "A sentence is longer than this model can predict."
-            assert all(
-                "  " not in sentence for sentence in sentences
-            ), "Strings with multiple sequential spaces are not permitted."
-            label_length = np.array([len(sentence) for sentence in sentences])[
-                :, np.newaxis
-            ]
-            labels = np.array(
-                [
-                    [self.alphabet.index(c) for c in sentence]
-                    + [-1] * (max_string_length - len(sentence))
-                    for sentence in sentences
-                ]
+
+    def _encode_label(self, sentence: str, pad_to: int) -> typing.List[int]:
+        """Alphabet-index a sentence, -1-padded to ``pad_to`` slots.
+
+        Raises on anything the CTC trainer can't digest: characters off
+        the alphabet, empty strings, labels longer than the frame count,
+        and runs of spaces (the reference enforces the same set,
+        recognition.py:440-449).
+        """
+        if not sentence:
+            raise ValueError("Found a zero length sentence.")
+        if len(sentence) > pad_to:
+            raise ValueError("A sentence is longer than this model can predict.")
+        if "  " in sentence:
+            raise ValueError(
+                "Strings with multiple sequential spaces are not permitted."
             )
-            input_length = np.ones((batch_size, 1)) * max_string_length
-            if len(batch[0]) == 3:
-                sample_weights = np.array([sample[2] for sample in batch])
-                yield (images, labels, input_length, label_length), y, sample_weights
+        try:
+            encoded = [self.alphabet.index(c) for c in sentence]
+        except ValueError:
+            bad = next(c for c in sentence if c not in self.alphabet)
+            raise ValueError(f"Found illegal character: {bad}") from None
+        return encoded + [-1] * (pad_to - len(sentence))
+
+    def get_batch_generator(self, image_generator, batch_size=8, lowercase=False):
+        """Yield ((images, labels, input_length, label_length), zeros) batches.
+
+        Same data contract as the reference generator
+        (recognition.py:406-465); feeds
+        :mod:`keras_ocr_tpu.train.recognizer`. Samples are (image, text)
+        or (image, text, weight) tuples; a third element adds a
+        sample_weights array to the yield.
+        """
+        frames = self.max_string_length()
+        channels = self.input_shape[2]
+        ctc_dummy_target = np.zeros((batch_size, 1))
+        input_length = np.full((batch_size, 1), frames, dtype="float64")
+        while True:
+            samples = list(itertools.islice(image_generator, batch_size))
+            texts = [sample[1].strip() for sample in samples]
+            if lowercase:
+                texts = [text.lower() for text in texts]
+
+            planes = []
+            for sample in samples:
+                image = sample[0]
+                if channels != 3:
+                    image = rgb_to_grayscale_host(image)[..., np.newaxis]
+                planes.append(image.astype("float32") / 255)
+            images = np.array(planes)
+            labels = np.array([self._encode_label(text, frames) for text in texts])
+            label_length = np.array([[len(text)] for text in texts])
+
+            inputs = (images, labels, input_length, label_length)
+            if len(samples[0]) == 3:
+                weights = np.array([sample[2] for sample in samples])
+                yield inputs, ctc_dummy_target, weights
             else:
-                yield (images, labels, input_length, label_length), y
+                yield inputs, ctc_dummy_target
 
 
 # ---------------------------------------------------------------------------

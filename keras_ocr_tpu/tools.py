@@ -380,131 +380,139 @@ def augment(
     if image is not None:
         image_augmented = augmenter(image=image)
         image_shape = image.shape[:2]
-        image_augmented_shape = image_augmented.shape[:2]
+        new_shape = image_augmented.shape[:2]
     else:
         image_augmented = None
-        width_augmented, height_augmented = augmenter.augment_keypoints(
+        # Track where the bottom-right corner lands to learn the new extent.
+        corner = augmenter.augment_keypoints(
             np.array([[image_shape[1], image_shape[0]]], dtype="float32"),
             image_shape,
         )[0]
-        image_augmented_shape = (height_augmented, width_augmented)
+        new_shape = (corner[1], corner[0])
 
-    def box_inside_image(box):
-        area_before = polygon_area(np.array(box, dtype="int32"))
-        if area_before == 0:
-            return False, box
-        clipped = box.copy()
-        clipped[:, 0] = clipped[:, 0].clip(0, image_augmented_shape[1])
-        clipped[:, 1] = clipped[:, 1].clip(0, image_augmented_shape[0])
-        area_after = polygon_area(np.array(clipped, dtype="int32"))
-        return (
-            ((area_after / area_before) >= area_threshold)
-            and (min_area is None or area_after > min_area),
-            clipped,
+    def transform(box):
+        """Move one quad through the augmenter; returns (keep, clipped).
+
+        A box survives when, after clipping to the augmented canvas, it
+        retains at least ``area_threshold`` of its (augmented) area and —
+        when ``min_area`` is set — exceeds that absolute floor. Areas use
+        the reference's int32-rounded shoelace convention.
+        """
+        moved = augmenter.augment_keypoints(
+            np.asarray(box, dtype="float32"), image_shape
         )
-
-    def augment_box(box):
-        return augmenter.augment_keypoints(np.asarray(box, dtype="float32"), image_shape)
+        full_area = polygon_area(moved.astype("int32"))
+        if full_area == 0:
+            return False, moved
+        clipped = np.stack(
+            [
+                moved[:, 0].clip(0, new_shape[1]),
+                moved[:, 1].clip(0, new_shape[0]),
+            ],
+            axis=1,
+        )
+        visible_area = polygon_area(clipped.astype("int32"))
+        keep = visible_area / full_area >= area_threshold and (
+            min_area is None or visible_area > min_area
+        )
+        return keep, clipped
 
     if boxes_format == "boxes":
-        boxes_augmented = [
-            box
-            for inside, box in [box_inside_image(box) for box in map(augment_box, boxes)]
-            if inside
-        ]
+        survivors = [box for keep, box in map(transform, boxes) if keep]
     elif boxes_format == "lines":
-        boxes_augmented = [
-            [(augment_box(box), character) for box, character in line] for line in boxes
-        ]
-        boxes_augmented = [
-            [
+        survivors = []
+        for line in boxes:
+            kept = [
                 (box, character)
-                for (inside, box), character in [
-                    (box_inside_image(box), character) for box, character in line
-                ]
-                if inside
+                for (keep, box), character in (
+                    (transform(box), character) for box, character in line
+                )
+                if keep
             ]
-            for line in boxes_augmented
-        ]
-        boxes_augmented = [line for line in boxes_augmented if line]
+            # A line whose every character fell outside disappears entirely.
+            if kept:
+                survivors.append(kept)
     elif boxes_format == "predictions":
-        boxes_augmented = [(word, augment_box(box)) for word, box in boxes]
-        boxes_augmented = [
-            (word, box)
-            for word, (inside, box) in [
-                (word, box_inside_image(box)) for word, box in boxes_augmented
-            ]
-            if inside
-        ]
+        survivors = []
+        for word, box in boxes:
+            keep, clipped = transform(box)
+            if keep:
+                survivors.append((word, clipped))
     else:
         raise NotImplementedError(f"Unsupported boxes format: {boxes_format}")
-    return image_augmented, boxes_augmented
+    return image_augmented, survivors
 
 
 def pad(image, width: int, height: int, cval: int = 255):
     """Bottom/right-pad an image up to (height, width) with ``cval``.
 
-    (/root/reference/keras_ocr/tools.py:356-375.)
+    Behavior contract: /root/reference/keras_ocr/tools.py:356-375 (content
+    anchored at the top-left corner, fill value ``cval``).
     """
-    if len(image.shape) == 3:
-        output_shape = (height, width, image.shape[-1])
-    else:
-        output_shape = (height, width)
-    assert height >= image.shape[0], "Input height must be less than output height."
-    assert width >= image.shape[1], "Input width must be less than output width."
-    padded = np.zeros(output_shape, dtype=image.dtype) + cval
-    padded[: image.shape[0], : image.shape[1]] = image
-    return padded
+    src_h, src_w = image.shape[:2]
+    if src_h > height or src_w > width:
+        raise ValueError(
+            f"Cannot pad a ({src_h}, {src_w}) image to smaller "
+            f"({height}, {width})."
+        )
+    canvas = np.full((height, width) + image.shape[2:], cval, dtype=image.dtype)
+    canvas[:src_h, :src_w] = image
+    return canvas
 
 
 def resize_image(image, max_scale, max_size):
     """Resize subject to a maximum scale and maximum size; returns (image, scale).
 
-    (/root/reference/keras_ocr/tools.py:378-398.)
+    Behavior contract: /root/reference/keras_ocr/tools.py:378-398 — the
+    applied scale is ``max_scale`` unless that would push the longest side
+    past ``max_size``, in which case the image is scaled to ``max_size``.
     """
-    if max(image.shape) * max_scale > max_size:
-        scale = max_size / max(image.shape)
-    else:
-        scale = max_scale
+    scale = min(max_scale, max_size / max(image.shape))
     return (
-        _resize(image, width=int(image.shape[1] * scale), height=int(image.shape[0] * scale)),
+        _resize(
+            image, width=int(image.shape[1] * scale), height=int(image.shape[0] * scale)
+        ),
         scale,
     )
 
 
 def fit(image, width: int, height: int, cval: int = 255, mode="letterbox", return_scale=False):
-    """Fit an image to the given size by letterboxing or cropping.
+    """Fit an image to (height, width) by letterboxing or cropping.
 
-    (/root/reference/keras_ocr/tools.py:402-452.)
+    Behavior contract: /root/reference/keras_ocr/tools.py:402-452 —
+    letterbox scales by the tighter axis and fills the rest with ``cval``
+    (output is always 3-channel uint8); crop scales by the looser axis and
+    trims the overflow. An already-fitting image passes through untouched.
     """
-    fitted = None
-    x_scale = width / image.shape[1]
-    y_scale = height / image.shape[0]
-    if x_scale == 1 and y_scale == 1:
-        fitted = image
-        scale = 1
-    elif (x_scale <= y_scale and mode == "letterbox") or (x_scale >= y_scale and mode == "crop"):
-        scale = width / image.shape[1]
-        resize_width = width
-        resize_height = (width / image.shape[1]) * image.shape[0]
+    src_h, src_w = image.shape[:2]
+    if (src_h, src_w) == (height, width):
+        return (image, 1) if return_scale else image
+    if mode not in ("letterbox", "crop"):
+        raise NotImplementedError(f"Unsupported mode: {mode}")
+
+    width_scale = width / src_w
+    height_scale = height / src_h
+    width_bound = (
+        width_scale <= height_scale
+        if mode == "letterbox"
+        else width_scale >= height_scale
+    )
+    if width_bound:
+        # Width is the driving axis: it lands exactly on ``width`` and the
+        # height follows (truncated to int, as the reference does).
+        scale = width_scale
+        resized = _resize(image, width=width, height=int(width_scale * src_h))
     else:
-        scale = height / image.shape[0]
-        resize_height = height
-        resize_width = scale * image.shape[1]
-    if fitted is None:
-        resize_width, resize_height = map(int, [resize_width, resize_height])
-        if mode == "letterbox":
-            fitted = np.zeros((height, width, 3), dtype="uint8") + cval
-            image = _resize(image, width=resize_width, height=resize_height)
-            fitted[: image.shape[0], : image.shape[1]] = image[:height, :width]
-        elif mode == "crop":
-            image = _resize(image, width=resize_width, height=resize_height)
-            fitted = image[:height, :width]
-        else:
-            raise NotImplementedError(f"Unsupported mode: {mode}")
-    if not return_scale:
-        return fitted
-    return fitted, scale
+        scale = height_scale
+        resized = _resize(image, width=int(height_scale * src_w), height=height)
+
+    if mode == "crop":
+        fitted = resized[:height, :width]
+    else:
+        fitted = np.full((height, width, 3), cval, dtype="uint8")
+        visible = resized[:height, :width]
+        fitted[: visible.shape[0], : visible.shape[1]] = visible
+    return (fitted, scale) if return_scale else fitted
 
 
 def read_and_fit(
@@ -527,15 +535,18 @@ def fix_line(line):
     """Order a line of (box, char) tuples left-to-right or top-to-bottom.
 
     Returns the fixed line plus "horizontal"/"vertical".
-    (/root/reference/keras_ocr/tools.py:584-600.)
+    Behavior contract: /root/reference/keras_ocr/tools.py:584-600 — its
+    sum-of-sorted-center-gaps criterion telescopes to the center-spread
+    extent per axis, which is what is computed here directly.
     """
-    line = [(get_rotated_box(box)[0], character) for box, character in line]
-    centers = np.array([box.mean(axis=0) for box, _ in line])
-    sortedx = centers[:, 0].argsort()
-    sortedy = centers[:, 1].argsort()
-    if np.diff(centers[sortedy][:, 1]).sum() > np.diff(centers[sortedx][:, 0]).sum():
-        return [line[idx] for idx in sortedy], "vertical"
-    return [line[idx] for idx in sortedx], "horizontal"
+    oriented = [(get_rotated_box(box)[0], character) for box, character in line]
+    centers = np.array([box.mean(axis=0) for box, _ in oriented])
+    x_extent, y_extent = centers.max(axis=0) - centers.min(axis=0)
+    if y_extent > x_extent:
+        axis, orientation = 1, "vertical"
+    else:
+        axis, orientation = 0, "horizontal"
+    return [oriented[i] for i in centers[:, axis].argsort()], orientation
 
 
 # ---------------------------------------------------------------------------
@@ -563,40 +574,48 @@ def drawBoxes(image, boxes, color=(255, 0, 0), thickness=5, boxes_format="boxes"
 
 
 def drawAnnotations(image, predictions, ax=None):
-    """Draw text predictions next to the image using matplotlib.
+    """Render predictions as a boxed image with labels in the margins.
 
-    (/root/reference/keras_ocr/tools.py:150-186.)
+    Same presentation idea as /root/reference/keras_ocr/tools.py:150-186:
+    words whose boxes start in the left half of the image are labeled down
+    the left margin (top to bottom in reading order), the rest down the
+    right margin, each label arrowed to its box's first corner.
     """
     import matplotlib.pyplot as plt
 
     if ax is None:
         _, ax = plt.subplots()
     ax.imshow(drawBoxes(image=image, boxes=predictions, boxes_format="predictions"))
-    predictions = sorted(predictions, key=lambda p: p[1][:, 1].min())
-    left = []
-    right = []
-    for word, box in predictions:
-        if box[:, 0].min() < image.shape[1] / 2:
-            left.append((word, box))
-        else:
-            right.append((word, box))
-    ax.set_yticks([])
     ax.set_xticks([])
-    for side, group in zip(["left", "right"], [left, right]):
-        for index, (text, box) in enumerate(group):
-            y = 1 - (index / len(group))
-            xy = box[0] / np.array([image.shape[1], image.shape[0]])
-            xy[1] = 1 - xy[1]
-            ax.annotate(
-                text=text,
-                xy=xy,
-                xytext=(-0.05 if side == "left" else 1.05, y),
-                xycoords="axes fraction",
-                arrowprops={"arrowstyle": "->", "color": "r"},
-                color="r",
-                fontsize=14,
-                horizontalalignment="right" if side == "left" else "left",
-            )
+    ax.set_yticks([])
+
+    img_height, img_width = image.shape[:2]
+    in_reading_order = sorted(predictions, key=lambda p: p[1][:, 1].min())
+    columns = {
+        "left": [p for p in in_reading_order if p[1][:, 0].min() < img_width / 2],
+        "right": [p for p in in_reading_order if p[1][:, 0].min() >= img_width / 2],
+    }
+
+    def place_label(side, slot, total, text, box):
+        # Anchor the arrow at the box's first corner, in axes fractions
+        # (matplotlib's y axis points up, the image's points down).
+        anchor_x = box[0][0] / img_width
+        anchor_y = 1 - box[0][1] / img_height
+        ax.annotate(
+            text=text,
+            xy=(anchor_x, anchor_y),
+            xytext=(-0.05 if side == "left" else 1.05, 1 - slot / total),
+            xycoords="axes fraction",
+            arrowprops={"arrowstyle": "->", "color": "r"},
+            color="r",
+            fontsize=14,
+            horizontalalignment="right" if side == "left" else "left",
+        )
+
+    for side, group in columns.items():
+        for slot, (text, box) in enumerate(group):
+            place_label(side, slot, len(group), text, box)
+    return ax
     return ax
 
 
