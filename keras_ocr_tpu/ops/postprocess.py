@@ -20,9 +20,11 @@ one fixed-shape jitted program so it fuses with the CRAFT forward pass:
   ~300x smaller than per-pixel projection,
 * size / confidence filters as masks (detection.py:233-241),
 * the per-component dilation with a ``(1+niter)`` square kernel
-  (detection.py:258-264) is applied *analytically*: extents of the
-  dilated set along any fixed direction equal the original extents plus
-  the kernel's support, so no dilated mask is ever materialized,
+  (detection.py:258-264) is applied *analytically and border-clipped*:
+  the dilated set is the union of per-pixel kernel squares intersected
+  with the image rectangle, whose directional extents are computed by
+  clamping the staircase corners before projecting — no dilated mask is
+  ever materialized and the result is pixel-exact vs the oracle's mask,
 * min-area rectangle: extents are evaluated along a STATIC bank of
   ``num_angles`` directions spanning [0, 90) deg and the angle minimizing
   the (dilation-expanded) rectangle area wins — the same objective
@@ -216,39 +218,30 @@ def _get_boxes_single(
     xlo = xmin_seg_r[:, :, None]
     xhi = xmax_seg_r[:, :, None]
     y3 = rows[:, :, None]
-    umax = jnp.max(jnp.where(p3, xhi * cos_a + y3 * sin_a, -_BIG), axis=0)[:-1]
-    umin = jnp.min(jnp.where(p3, xlo * cos_a + y3 * sin_a, _BIG), axis=0)[:-1]
-    vmax = jnp.max(jnp.where(p3, -xlo * sin_a + y3 * cos_a, -_BIG), axis=0)[:-1]
-    vmin = jnp.min(jnp.where(p3, -xhi * sin_a + y3 * cos_a, _BIG), axis=0)[:-1]
 
-    # Analytic Minkowski expansion by the kernel's offsets [-b, a]^2:
-    # support of the square along each bank direction, per component.
-    def support(cx, cy):
-        # (C, K): max/min over the 4 kernel corners of dx*cx + dy*cy.
-        corners = jnp.stack(
-            [
-                -b[:, None] * cx - b[:, None] * cy,
-                -b[:, None] * cx + a[:, None] * cy,
-                a[:, None] * cx - b[:, None] * cy,
-                a[:, None] * cx + a[:, None] * cy,
-            ],
-            0,
-        )
-        return corners.max(0), corners.min(0)
+    # Border-clipped analytic Minkowski expansion. The reference dilates
+    # into a window clipped at the image border (detection.py:258-264, with
+    # kernel growth <= niter <= the window margin), so its dilated set is
+    # exactly (segmap (+) kernel) INTERSECT image rect = the union over
+    # segmap pixels p of the per-pixel clipped square
+    # [max(px-b,0), min(px+a,W-1)] x [max(py-b,0), min(py+a,H-1)].
+    # Extents of that union along any bank direction with cos,sin >= 0 are
+    # attained at a clipped-square corner, and the border clamps are
+    # monotone in x, so row extrema still sit at the staircase columns:
+    # clamp the staircase corners per (row, segment), then project. This
+    # makes the device rectangle's objective pixel-exact vs the oracle's
+    # dilated mask (the only remaining discretization is the angle bank).
+    ap = jnp.concatenate([a, jnp.zeros((1,), a.dtype)])[None, :, None]  # (1, S, 1)
+    bp = jnp.concatenate([b, jnp.zeros((1,), b.dtype)])[None, :, None]
+    xg_hi = jnp.minimum(xhi + ap, width - 1.0)
+    xg_lo = jnp.maximum(xlo - bp, 0.0)
+    yg_hi = jnp.minimum(y3 + ap, height - 1.0)
+    yg_lo = jnp.maximum(y3 - bp, 0.0)
+    umax = jnp.max(jnp.where(p3, xg_hi * cos_a + yg_hi * sin_a, -_BIG), axis=0)[:-1]
+    umin = jnp.min(jnp.where(p3, xg_lo * cos_a + yg_lo * sin_a, _BIG), axis=0)[:-1]
+    vmax = jnp.max(jnp.where(p3, -xg_lo * sin_a + yg_hi * cos_a, -_BIG), axis=0)[:-1]
+    vmin = jnp.min(jnp.where(p3, -xg_hi * sin_a + yg_lo * cos_a, _BIG), axis=0)[:-1]
 
-    du_max, du_min = support(cos_k[None, :], sin_k[None, :])
-    dv_max, dv_min = support(-sin_k[None, :], cos_k[None, :])
-    umax = umax + du_max
-    umin = umin + du_min
-    vmax = vmax + dv_max
-    vmin = vmin + dv_min
-
-    # Known deviation from cv2: the reference dilates into a same-size
-    # image, implicitly clipping the dilated set at the borders before
-    # minAreaRect; the analytic Minkowski expansion here is unclipped, so
-    # components touching the border can get a slightly larger rectangle.
-    # (The diamond/axis-aligned fallback below IS border-clipped, matching
-    # detection.py:276-281 exactly.)
     rect_w = umax - umin  # (C, K)
     rect_h = vmax - vmin
     rect_area = rect_w * rect_h
