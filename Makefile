@@ -3,25 +3,52 @@
 
 PYTHON ?= python
 
-.PHONY: init format format-check lint-check type-check test test-tpu bench native docs clean
+.PHONY: init format format-check lint-check type-check test test-all test-tpu doc-examples bench native docs clean
 
 init:
 	$(PYTHON) -m pip install -e . --no-deps --no-build-isolation
 
+# Checks FAIL when their tool reports problems. When a tool is not
+# installed (this image bundles none of them), format/type checks skip
+# with a notice and lint falls back to the bundled AST checker — the
+# fallback still exits nonzero on findings, so `make lint-check` can
+# fail everywhere.
 format:
-	$(PYTHON) -m black keras_ocr_tpu tests scripts bench.py __graft_entry__.py || true
+	$(PYTHON) -m black keras_ocr_tpu tests scripts bench.py __graft_entry__.py
 
 format-check:
-	$(PYTHON) -m black --check keras_ocr_tpu tests scripts || true
+	@if $(PYTHON) -c "import black" 2>/dev/null; then \
+		$(PYTHON) -m black --check keras_ocr_tpu tests scripts bench.py __graft_entry__.py; \
+	else \
+		echo "black not installed; skipping format check"; \
+	fi
 
 lint-check:
-	$(PYTHON) -m pyflakes keras_ocr_tpu scripts || $(PYTHON) -m flake8 --select=F keras_ocr_tpu scripts || true
+	@if $(PYTHON) -c "import pyflakes" 2>/dev/null; then \
+		$(PYTHON) -m pyflakes keras_ocr_tpu scripts bench.py __graft_entry__.py; \
+	else \
+		$(PYTHON) scripts/lint_ast.py keras_ocr_tpu scripts bench.py __graft_entry__.py; \
+	fi
 
 type-check:
-	$(PYTHON) -m mypy --ignore-missing-imports keras_ocr_tpu || true
+	@if $(PYTHON) -c "import mypy" 2>/dev/null; then \
+		$(PYTHON) -m mypy --ignore-missing-imports keras_ocr_tpu; \
+	else \
+		echo "mypy not installed; skipping type check"; \
+	fi
 
+# Fast suite: excludes tests marked `slow` (fused-pipeline / mesh-training
+# compiles) so a cold CI run stays in minutes; `test-all` runs everything.
 test:
+	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
+
+test-all:
 	$(PYTHON) -m pytest tests/ -x -q
+
+# Execute the offline-runnable blocks in docs/examples/*.md (the
+# executable analog of the reference's worked examples).
+doc-examples:
+	$(PYTHON) scripts/run_doc_examples.py
 
 # Run the suite against the real TPU chip (slow: per-shape compiles).
 test-tpu:

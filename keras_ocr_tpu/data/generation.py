@@ -17,7 +17,6 @@ cv2.findContours; matplotlib.path replaces cv2.pointPolygonTest).
 from __future__ import annotations
 
 import glob
-import itertools
 import math
 import os
 import random

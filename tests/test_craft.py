@@ -11,6 +11,8 @@ bilinear-resize semantics end to end at <=1e-4.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; `make test-all` / nightly CI
+
 import jax
 import jax.numpy as jnp
 

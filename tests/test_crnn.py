@@ -9,6 +9,8 @@ graph against an independently written functional torch twin.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; `make test-all` / nightly CI
+
 import jax
 import jax.numpy as jnp
 

@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; `make test-all` / nightly CI
+
 import jax.numpy as jnp
 
 import keras_ocr_tpu

@@ -12,6 +12,8 @@ import string
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; `make test-all` / nightly CI
+
 import jax
 import jax.numpy as jnp
 
