@@ -24,44 +24,134 @@ from keras_ocr_tpu import tools
 from keras_ocr_tpu.data import generation
 
 GOOGLE_FONTS_COMMIT = "f5a08a39d82f661d428007bc10f81f1c1e7d5d8b"
-FONTS_BLACKLIST = {
-    # Decorative / unreadable families excluded from the training set
-    # (the reference maintains a similar 74-family blacklist).
-    "adventpro", "barcode", "blackops", "bungee", "butcherman", "codystar",
-    "creepster", "eater", "faster", "flavors", "fontdinerswanky", "frijole",
-    "gochihand", "kranky", "monofett", "monoton", "nosifer", "pressstart2p",
-    "rubikmonoone", "rye", "specialelite", "vast", "zillaslabhighlight",
-}
+# Exact per-file blacklist reproducing the published fonts.zip: fonts
+# found illegible for the English alphabet (thin weights) or rendering
+# unexpectedly (barcode/redacted/math faces). This is provenance data and
+# must match the reference's list verbatim
+# (/root/reference/scripts/create_fonts_and_backgrounds.py:38-114).
+FONTS_BLACKLIST = frozenset(
+    [
+        "AlmendraDisplay-Regular.ttf",
+        "RedactedScript-Bold.ttf",
+        "RedactedScript-Regular.ttf",
+        "Sevillana-Regular.ttf",
+        "Mplus1p-Thin.ttf",
+        "Stalemate-Regular.ttf",
+        "jsMath-cmsy10.ttf",
+        "Codystar-Regular.ttf",
+        "AdventPro-Thin.ttf",
+        "RoundedMplus1c-Thin.ttf",
+        "EncodeSans-Thin.ttf",
+        "AlegreyaSans-ThinItalic.ttf",
+        "AlegreyaSans-Thin.ttf",
+        "FiraSans-Thin.ttf",
+        "FiraSans-ThinItalic.ttf",
+        "WorkSans-Thin.ttf",
+        "Tomorrow-ThinItalic.ttf",
+        "Tomorrow-Thin.ttf",
+        "Italianno-Regular.ttf",
+        "IBMPlexSansCondensed-Thin.ttf",
+        "IBMPlexSansCondensed-ThinItalic.ttf",
+        "Lato-ExtraLightItalic.ttf",
+        "LibreBarcode128Text-Regular.ttf",
+        "LibreBarcode39-Regular.ttf",
+        "LibreBarcode39ExtendedText-Regular.ttf",
+        "EncodeSansExpanded-ExtraLight.ttf",
+        "Exo-Thin.ttf",
+        "Exo-ThinItalic.ttf",
+        "DrSugiyama-Regular.ttf",
+        "Taviraj-ThinItalic.ttf",
+        "SixCaps.ttf",
+        "IBMPlexSans-Thin.ttf",
+        "IBMPlexSans-ThinItalic.ttf",
+        "AdobeBlank-Regular.ttf",
+        "FiraSansExtraCondensed-ThinItalic.ttf",
+        "HeptaSlab[wght].ttf",
+        "Karla-Italic[wght].ttf",
+        "Karla[wght].ttf",
+        "RalewayDots-Regular.ttf",
+        "FiraSansCondensed-ThinItalic.ttf",
+        "jsMath-cmex10.ttf",
+        "LibreBarcode39Text-Regular.ttf",
+        "LibreBarcode39Extended-Regular.ttf",
+        "EricaOne-Regular.ttf",
+        "ArimaMadurai-Thin.ttf",
+        "IBMPlexSerif-ExtraLight.ttf",
+        "IBMPlexSerif-ExtraLightItalic.ttf",
+        "IBMPlexSerif-ThinItalic.ttf",
+        "IBMPlexSerif-Thin.ttf",
+        "Exo2-Thin.ttf",
+        "Exo2-ThinItalic.ttf",
+        "BungeeOutline-Regular.ttf",
+        "Redacted-Regular.ttf",
+        "JosefinSlab-ThinItalic.ttf",
+        "GothicA1-Thin.ttf",
+        "Kanit-ThinItalic.ttf",
+        "Kanit-Thin.ttf",
+        "AlegreyaSansSC-ThinItalic.ttf",
+        "AlegreyaSansSC-Thin.ttf",
+        "Chathura-Thin.ttf",
+        "Blinker-Thin.ttf",
+        "Italiana-Regular.ttf",
+        "Miama-Regular.ttf",
+        "Grenze-ThinItalic.ttf",
+        "LeagueScript-Regular.ttf",
+        "BigShouldersDisplay-Thin.ttf",
+        "YanoneKaffeesatz[wght].ttf",
+        "BungeeHairline-Regular.ttf",
+        "JosefinSans-Thin.ttf",
+        "JosefinSans-ThinItalic.ttf",
+        "Monofett.ttf",
+        "Raleway-ThinItalic.ttf",
+        "Raleway-Thin.ttf",
+        "JosefinSansStd-Light.ttf",
+        "LibreBarcode128-Regular.ttf",
+    ]
+)
 
 
 def sha256_bytes(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
 
 
-def collect_fonts(fonts_dir: str, output_zip: str) -> None:
-    """Dedup (sha256 + basename) and zip .ttf files under fonts_dir."""
+def select_fonts(paths, read_bytes=None):
+    """Apply the reference's retention rule to an ordered font-file list.
+
+    A file is kept unless its basename is blacklisted, its sha256 was
+    already seen, or its basename was already seen (the Google Fonts repo
+    duplicates some files across family directories). Returns kept paths
+    in input order. ``read_bytes`` is injectable for offline tests.
+    """
+    if read_bytes is None:
+
+        def read_bytes(path):
+            with open(path, "rb") as f:
+                return f.read()
+
     seen_hashes = set()
     seen_names = set()
     kept = []
-    for root, _, files in os.walk(fonts_dir):
+    for path in paths:
+        basename = os.path.basename(path)
+        if basename in FONTS_BLACKLIST:
+            continue
+        digest = sha256_bytes(read_bytes(path))
+        if digest in seen_hashes or basename in seen_names:
+            continue
+        seen_hashes.add(digest)
+        seen_names.add(basename)
+        kept.append(path)
+    return kept
+
+
+def collect_fonts(fonts_dir: str, output_zip: str) -> None:
+    """Blacklist + dedup (sha256, basename) and zip .ttf files under fonts_dir."""
+    candidates = []
+    for root, _, files in sorted(os.walk(fonts_dir)):
         for name in sorted(files):
-            if not name.lower().endswith(".ttf"):
-                continue
-            family = os.path.basename(root).lower()
-            if family in FONTS_BLACKLIST:
-                continue
-            path = os.path.join(root, name)
-            with open(path, "rb") as f:
-                digest = sha256_bytes(f.read())
-            if digest in seen_hashes or name in seen_names:
-                continue
-            if not generation.font_supports_alphabet(
-                path, alphabet="abcdefghijklmnopqrstuvwxyz0123456789"
-            ):
-                continue
-            seen_hashes.add(digest)
-            seen_names.add(name)
-            kept.append(path)
+            if name.lower().endswith(".ttf"):
+                candidates.append(os.path.join(root, name))
+    kept = select_fonts(sorted(candidates))
     with zipfile.ZipFile(output_zip, "w") as zfile:
         for path in kept:
             zfile.write(path, os.path.join(*path.split(os.sep)[-2:]))
@@ -98,9 +188,12 @@ def background_is_usable(image: np.ndarray, detector) -> bool:
     contour, _ = generation.get_maximum_uniform_contour(image, fontsize=40)
     if contour is None or len(contour) < 3:
         return False
-    ys = contour[:, 1]
-    xs = contour[:, 0]
-    if (xs.max() - xs.min()) * (ys.max() - ys.min()) < 1e6:
+    # Shoelace polygon area — the reference's cv2.contourArea threshold
+    # (reference scripts/create_fonts_and_backgrounds.py:213-222).
+    xs = np.asarray(contour[:, 0], dtype=np.float64)
+    ys = np.asarray(contour[:, 1], dtype=np.float64)
+    area = 0.5 * abs(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1)))
+    if area < 1e6:
         return False
     boxes = detector.detect([image])[0]
     return len(boxes) == 0
