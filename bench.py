@@ -8,15 +8,35 @@ Prints ONE JSON line with the driver contract keys
   - "weights": "pretrained" or "random" — which parameters were actually
     benchmarked. The compute is identical either way, but a benchmark that
     cannot say what it measured is not evidence (VERDICT r1).
+  - "golden_eventdock": the reference's golden end-to-end assertion
+    (reference tests/test_pipeline.py:19-20 — exactly one prediction,
+    text == "eventdock", on tests/test_image.jpg) run with the real
+    pretrained weights; "pass"/"fail"/"skipped(...)".
+  - "coco": the quality north star — the full COCO-Text val protocol
+    (first N val images, IoU>=0.5 AND similarity>=0.5, case/punctuation
+    ignored; reference README.md:57-73) at scale=2, run in a bounded
+    subprocess when network + pretrained weights are available. Targets:
+    P/R >= 0.53/0.54.
 
 Latency protocol: 640x480 input images (COCO-Text-like), Pipeline(scale=2)
 -> 1280x960 on device, sequential single-image recognize() calls including
 host pre/post-processing, p50 over the timed runs.
 Baseline: the reference's 417 ms/image sequential end-to-end latency at
 scale=2 on a Tesla P4 (BASELINE.md; reference README.md:68,72).
+
+Structure: the orchestrator (no args) runs each phase in its own bounded
+subprocess so the TPU is held by exactly one process at a time (the axon
+runtime is exclusive) and a hang in any phase cannot eat the whole bench:
+  1. weight pre-download (no device use),
+  2. `--phase measure`: latency + throughput + golden check (this file),
+  3. COCO-Text eval (scripts/evaluate_coco_text.py).
+Env knobs: KERAS_OCR_TPU_BENCH_SKIP_COCO=1 skips phase 3;
+KERAS_OCR_TPU_BENCH_COCO_LIMIT / _COCO_TIMEOUT_S bound it.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -24,36 +44,60 @@ import numpy as np
 
 BASELINE_MS = 417.0
 BASELINE_IPS = 1000.0 / BASELINE_MS
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+GOLDEN_IMAGE = "/root/reference/tests/test_image.jpg"
 
 
-def build_pipeline():
-    """Returns (pipeline, provenance) where provenance is how weights loaded."""
+def predownload_weights():
+    """Fetch the pretrained weight files WITHOUT touching the TPU.
+
+    Importing the package only registers jax config; no backend client is
+    created, so the measure/eval subprocesses can still grab the chip.
+    """
+    import contextlib
+
+    try:
+        from keras_ocr_tpu import weights as weights_lib
+
+        # Keep stdout clean for the single JSON result line: the
+        # downloader's progress messages go to stderr.
+        with contextlib.redirect_stdout(sys.stderr):
+            weights_lib.download_pretrained(
+                weights_lib.DETECTOR_PRETRAINED[("clovaai_general", False)]
+            )
+            weights_lib.download_pretrained(
+                weights_lib.RECOGNIZER_PRETRAINED["kurapan"]["weights"]["top"]
+            )
+        return "pretrained"
+    except Exception as exc:  # no network/cache: bench with random weights
+        print(
+            f"WARNING: pretrained weights unavailable ({type(exc).__name__}: "
+            f"{exc}); benchmarking RANDOM weights (identical compute).",
+            file=sys.stderr,
+        )
+        return "random"
+
+
+def build_pipeline(provenance):
     import jax.numpy as jnp
 
     from keras_ocr_tpu.detection import Detector
     from keras_ocr_tpu.recognition import Recognizer
     from keras_ocr_tpu.pipeline import Pipeline
 
-    try:
+    if provenance == "pretrained":
         detector = Detector(compute_dtype=jnp.bfloat16)
         recognizer = Recognizer(compute_dtype=jnp.bfloat16)
-        provenance = "pretrained"
-    except Exception as exc:  # no network/cache: bench with random weights
+    else:
         import string
 
-        print(
-            f"WARNING: pretrained weights unavailable ({type(exc).__name__}: "
-            f"{exc}); benchmarking RANDOM weights (identical compute).",
-            file=sys.stderr,
-        )
         detector = Detector(weights=None, compute_dtype=jnp.bfloat16)
         recognizer = Recognizer(
             weights=None,
             alphabet=string.digits + string.ascii_lowercase,
             compute_dtype=jnp.bfloat16,
         )
-        provenance = "random"
-    return Pipeline(detector=detector, recognizer=recognizer, scale=2), provenance
+    return Pipeline(detector=detector, recognizer=recognizer, scale=2)
 
 
 def make_images(count=64):
@@ -70,11 +114,33 @@ def make_images(count=64):
     return images
 
 
-def main():
-    # Importing keras_ocr_tpu + building models points JAX's persistent
-    # compile cache at ~/.cache/keras_ocr_tpu/xla_cache, so repeated bench
-    # runs skip the cold XLA compile of the fused pipeline.
-    pipeline, provenance = build_pipeline()
+def golden_check(pipeline, provenance):
+    """The reference's golden assertion (tests/test_pipeline.py:19-20)."""
+    if provenance != "pretrained":
+        return "skipped(random weights)"
+    if not os.path.isfile(GOLDEN_IMAGE):
+        return "skipped(test_image.jpg unavailable)"
+    try:
+        from keras_ocr_tpu import tools
+
+        predictions = pipeline.recognize(images=[tools.read(GOLDEN_IMAGE)])[0]
+        words = [word for word, _ in predictions]
+        if words == ["eventdock"]:
+            return "pass"
+        return f"fail(predicted {words!r})"
+    except Exception as exc:  # noqa: BLE001 - golden must never kill the bench
+        return f"fail({type(exc).__name__}: {exc})"
+
+
+def measure():
+    """Latency + throughput + golden, printing one JSON line (subprocess)."""
+    provenance = (
+        "pretrained" if os.environ.get("_BENCH_WEIGHTS") == "pretrained" else "random"
+    )
+    # Building models points JAX's persistent compile cache at
+    # ~/.cache/keras_ocr_tpu/xla_cache, so repeated runs skip the cold
+    # XLA compile of the fused pipeline.
+    pipeline = build_pipeline(provenance)
     images = make_images()
 
     # Warmup / compile both program shapes (single-image and batch-8).
@@ -113,10 +179,115 @@ def main():
                 "throughput_ips_chip": round(ips, 2),
                 "throughput_vs_baseline": round(ips / BASELINE_IPS, 2),
                 "weights": provenance,
+                "golden_eventdock": golden_check(pipeline, provenance),
             }
         )
     )
 
 
+def run_coco_eval(provenance):
+    """Full COCO-Text val protocol in a bounded subprocess; returns a dict."""
+    if provenance != "pretrained":
+        return {"status": "skipped(random weights)"}
+    if os.environ.get("KERAS_OCR_TPU_BENCH_SKIP_COCO") == "1":
+        return {"status": "skipped(env)"}
+    limit = int(os.environ.get("KERAS_OCR_TPU_BENCH_COCO_LIMIT", "1000"))
+    timeout_s = int(os.environ.get("KERAS_OCR_TPU_BENCH_COCO_TIMEOUT_S", "2100"))
+    out_path = os.path.join(REPO_ROOT, "coco_text_results.json")
+    cmd = [
+        sys.executable,
+        os.path.join(REPO_ROOT, "scripts", "evaluate_coco_text.py"),
+        "--limit",
+        str(limit),
+        "--scale",
+        "2",
+        "--output",
+        out_path,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd, timeout=timeout_s, capture_output=True, text=True, cwd=REPO_ROOT
+        )
+    except subprocess.TimeoutExpired:
+        return {"status": f"timeout({timeout_s}s)"}
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+        print("coco eval failed:", *tail, sep="\n  ", file=sys.stderr)
+        return {"status": f"error(rc={proc.returncode})"}
+    try:
+        with open(out_path, encoding="utf8") as f:
+            result = json.load(f)
+    except (OSError, json.JSONDecodeError) as exc:
+        return {"status": f"error(no results file: {exc})"}
+    return {
+        "status": "ok",
+        "n_images": result.get("n_images"),
+        "precision": result.get("precision"),
+        "recall": result.get("recall"),
+        "weights": result.get("weights"),
+        "p50_latency_ms": result.get("p50_latency_ms"),
+    }
+
+
+def main():
+    provenance = predownload_weights()
+
+    coco = run_coco_eval(provenance)
+
+    env = dict(os.environ, _BENCH_WEIGHTS=provenance)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", "measure"],
+            timeout=int(os.environ.get("KERAS_OCR_TPU_BENCH_TIMEOUT_S", "1500")),
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO_ROOT,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_p50_latency_scale2_640x480",
+                    "value": None,
+                    "unit": "ms/image",
+                    "vs_baseline": None,
+                    "weights": provenance,
+                    "error": "measure phase timeout",
+                    "coco": coco,
+                }
+            )
+        )
+        return 1
+    sys.stderr.write(proc.stderr or "")
+    line = None
+    for candidate in (proc.stdout or "").strip().splitlines():
+        candidate = candidate.strip()
+        if candidate.startswith("{"):
+            line = candidate
+    if line is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_p50_latency_scale2_640x480",
+                    "value": None,
+                    "unit": "ms/image",
+                    "vs_baseline": None,
+                    "weights": provenance,
+                    "error": f"measure phase rc={proc.returncode}",
+                    "coco": coco,
+                }
+            )
+        )
+        return 1
+    payload = json.loads(line)
+    payload["coco"] = coco
+    print(json.dumps(payload))
+    return 0
+
+
 if __name__ == "__main__":
+    if "--phase" in sys.argv and "measure" in sys.argv:
+        measure()
+        sys.exit(0)
     sys.exit(main())
