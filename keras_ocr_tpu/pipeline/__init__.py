@@ -253,10 +253,11 @@ class Pipeline:
             max_height = max(image.shape[0] for image in images)
             max_width = max(image.shape[1] for image in images)
             if self.pad_to is not None:
-                assert self.pad_to[0] >= max_height and self.pad_to[1] >= max_width, (
-                    f"pad_to {self.pad_to} smaller than batch extent "
-                    f"({max_height}, {max_width})"
-                )
+                if self.pad_to[0] < max_height or self.pad_to[1] < max_width:
+                    raise ValueError(
+                        f"pad_to {self.pad_to} smaller than batch extent "
+                        f"({max_height}, {max_width})"
+                    )
                 max_height, max_width = self.pad_to
             max_height = -(-max_height // bucket) * bucket
             max_width = -(-max_width // bucket) * bucket
@@ -280,10 +281,11 @@ class Pipeline:
                 # Post-resize space: pad to pad_to x the nominal scale.
                 target_h = self.pad_to[0] * self.scale
                 target_w = self.pad_to[1] * self.scale
-                assert target_h >= max_height and target_w >= max_width, (
-                    f"pad_to {self.pad_to} (x{self.scale}) smaller than "
-                    f"resized batch extent ({max_height}, {max_width})"
-                )
+                if target_h < max_height or target_w < max_width:
+                    raise ValueError(
+                        f"pad_to {self.pad_to} (x{self.scale}) smaller than "
+                        f"resized batch extent ({max_height}, {max_width})"
+                    )
                 max_height, max_width = target_h, target_w
             max_height = -(-max_height // bucket) * bucket
             max_width = -(-max_width // bucket) * bucket

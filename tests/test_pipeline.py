@@ -236,7 +236,7 @@ def test_pipeline_pad_to_static_shape():
     assert len(set(seen_shapes)) == 1, seen_shapes
     assert seen_shapes[0] == (1, 96, 128, 3)
 
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         pipeline.recognize(images=[np.zeros((200, 200, 3), dtype="uint8")])
 
 
