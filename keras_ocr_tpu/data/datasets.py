@@ -79,18 +79,41 @@ def get_cocotext_recognizer_dataset(
             k: v for k, v in labels["anns"].items() if int(k) in kept_anns
         }
     selected_filenames = [labels["imgs"][cocoid]["file_name"] for cocoid in selected_ids]
+    # Retry each image once, then drop it: one flaky URL out of a thousand
+    # must not kill the whole dataset build (the caller sees the true
+    # image count via the pruned labels).
+    failed = set()
     with concurrent.futures.ThreadPoolExecutor() as executor:
-        futures = [
-            executor.submit(
-                tools.download_and_verify,
-                url=f"http://images.cocodataset.org/train2014/{filename}",
-                cache_dir=images_dir,
-                verbose=False,
-            )
-            for filename in selected_filenames
+
+        def fetch(filename):
+            url = f"http://images.cocodataset.org/train2014/{filename}"
+            for attempt in range(2):
+                try:
+                    tools.download_and_verify(
+                        url=url, cache_dir=images_dir, verbose=False
+                    )
+                    return None
+                except Exception as exc:  # noqa: BLE001 - any transport error
+                    last = exc
+            return filename, last
+
+        for result in executor.map(fetch, selected_filenames):
+            if result is not None:
+                filename, exc = result
+                warnings.warn(f"skipping {filename}: {type(exc).__name__}: {exc}")
+                failed.add(filename)
+    if failed:
+        kept = [
+            (cocoid, filename)
+            for cocoid, filename in zip(selected_ids, selected_filenames)
+            if filename not in failed
         ]
-        for future in concurrent.futures.as_completed(futures):
-            _ = future.result()
+        selected_ids = [cocoid for cocoid, _ in kept]
+        selected_filenames = [filename for _, filename in kept]
+        labels["imgs"] = {k: v for k, v in labels["imgs"].items() if k in selected_ids}
+        labels["imgToAnns"] = {
+            k: v for k, v in labels["imgToAnns"].items() if k in selected_ids
+        }
     dataset = []
     for selected_id, filename in zip(selected_ids, selected_filenames):
         filepath = os.path.join(images_dir, filename)

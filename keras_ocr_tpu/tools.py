@@ -647,10 +647,16 @@ def get_default_cache_dir():
     )
 
 
-def download_and_verify(url, sha256=None, cache_dir=None, verbose=True, filename=None):
+def download_and_verify(
+    url, sha256=None, cache_dir=None, verbose=True, filename=None, timeout=60
+):
     """Download a file into the cache and verify its sha256.
 
-    (/root/reference/keras_ocr/tools.py:501-530.)
+    (/root/reference/keras_ocr/tools.py:501-530.) Unlike the reference,
+    the transfer streams to a temporary file that is renamed into place
+    only on success — an interrupted download can't masquerade as a
+    cached file — and each socket read is bounded by ``timeout`` seconds
+    so a stalled connection fails instead of hanging a batch job.
     """
     if cache_dir is None:
         cache_dir = get_default_cache_dir()
@@ -663,6 +669,19 @@ def download_and_verify(url, sha256=None, cache_dir=None, verbose=True, filename
     if not os.path.isfile(filepath) or (sha256 and sha256sum(filepath) != sha256):
         if verbose:
             print("Downloading " + filepath)
-        urllib.request.urlretrieve(url, filepath)
-    assert sha256 is None or sha256 == sha256sum(filepath), "Error occurred verifying sha256."
+        partial = filepath + ".partial"
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as response:
+                with open(partial, "wb") as f:
+                    while True:
+                        chunk = response.read(1 << 20)
+                        if not chunk:
+                            break
+                        f.write(chunk)
+            os.replace(partial, filepath)
+        finally:
+            if os.path.isfile(partial):
+                os.remove(partial)
+    if sha256 is not None and sha256 != sha256sum(filepath):
+        raise ValueError(f"sha256 mismatch for {filepath} (from {url})")
     return filepath

@@ -278,18 +278,36 @@ def crnn_variables_from_h5(path: str, include_top: bool = True) -> dict:
                 n.decode() if isinstance(n, bytes) else n
                 for n in stn.attrs["weight_names"]
             ]
+            # The locnet sub-layers are auto-named with GLOBAL Keras
+            # counters ("conv2d_7", "dense_2", ... — whatever the saving
+            # session had created before), so names cannot be sorted or
+            # matched. The `weight_names` attr preserves build order, and
+            # the architecture is fixed (recognition.py:268-278): two 5x5
+            # convs (16 then 32 filters) then Dense(64), Dense(6). Group
+            # by appearance, classify by kernel rank, and verify shapes.
             groups: dict = {}
             for n in names:
                 layer = n.split("/")[-2]
                 groups.setdefault(layer, []).append(np.asarray(stn[n]))
-            ordered = sorted(
-                groups.items(), key=lambda kv: ("dense" in kv[0], kv[0])
-            )
+            convs = [v for v in groups.values() if v[0].ndim == 4]
+            denses = [v for v in groups.values() if v[0].ndim == 2]
+            if len(convs) != 2 or len(denses) != 2:
+                raise ValueError(
+                    "Unexpected STN localization-net structure in "
+                    f"{path!r}: {[(k, v[0].shape) for k, v in groups.items()]}"
+                )
+            expected_out = {"conv1": 16, "conv2": 32, "dense1": 64, "dense2": 6}
             stn_params = {}
-            for ours, (_, arrays) in zip(CRNN_STN_LAYERS, ordered):
+            for ours, arrays in zip(CRNN_STN_LAYERS, convs + denses):
+                kernel, bias = arrays
+                if kernel.shape[-1] != expected_out[ours]:
+                    raise ValueError(
+                        f"STN layer {ours} expects {expected_out[ours]} "
+                        f"output features, found kernel {kernel.shape} in {path!r}"
+                    )
                 stn_params[ours] = {
-                    "kernel": arrays[0].astype(np.float32),
-                    "bias": arrays[1].astype(np.float32),
+                    "kernel": kernel.astype(np.float32),
+                    "bias": bias.astype(np.float32),
                 }
             params["stn"] = stn_params
     return {"params": params, "batch_stats": batch_stats}

@@ -126,6 +126,69 @@ def test_crnn_h5_round_trip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_crnn_h5_stn_global_counter_names(tmp_path):
+    """STN sub-layers carry GLOBAL Keras auto-name counters from whatever
+    session saved the file (e.g. conv2d_9, conv2d_10) — lexical sorting
+    would order conv2d_10 before conv2d_9. Conversion must follow the
+    weight_names build order, not names."""
+    model = CRNN(alphabet_size=36)
+    variables = model.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 31, 200, 1)), train=False
+    )
+    rng = np.random.RandomState(3)
+    variables = jax.tree.map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 1.5, a.shape).astype("float32")),
+        variables,
+    )
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    path = str(tmp_path / "crnn_counters.h5")
+    with h5py.File(path, "w") as f:
+        # save_weights layout: groups at root, no model_weights wrapper.
+        for name in weights_lib.CRNN_CONV_LAYERS + weights_lib.CRNN_DENSE_LAYERS:
+            _write_layer(
+                f, name,
+                [("kernel:0", np.asarray(params[name]["kernel"])), ("bias:0", np.asarray(params[name]["bias"]))],
+            )
+        for name in weights_lib.CRNN_BN_LAYERS:
+            _write_layer(
+                f, name,
+                [
+                    ("gamma:0", np.asarray(params[name]["scale"])),
+                    ("beta:0", np.asarray(params[name]["bias"])),
+                    ("moving_mean:0", np.asarray(stats[name]["mean"])),
+                    ("moving_variance:0", np.asarray(stats[name]["var"])),
+                ],
+            )
+        for name in weights_lib.CRNN_LSTM_LAYERS:
+            _write_layer(
+                f, name,
+                [
+                    ("kernel:0", np.asarray(params[name]["kernel"])),
+                    ("recurrent_kernel:0", np.asarray(params[name]["recurrent_kernel"])),
+                    ("bias:0", np.asarray(params[name]["bias"])),
+                ],
+            )
+        stn = params["stn"]
+        _write_layer(
+            f, "model_3",
+            [
+                ("model_3/conv2d_9/kernel:0", np.asarray(stn["conv1"]["kernel"])),
+                ("model_3/conv2d_9/bias:0", np.asarray(stn["conv1"]["bias"])),
+                ("model_3/conv2d_10/kernel:0", np.asarray(stn["conv2"]["kernel"])),
+                ("model_3/conv2d_10/bias:0", np.asarray(stn["conv2"]["bias"])),
+                ("model_3/dense_9/kernel:0", np.asarray(stn["dense1"]["kernel"])),
+                ("model_3/dense_9/bias:0", np.asarray(stn["dense1"]["bias"])),
+                ("model_3/dense_10/kernel:0", np.asarray(stn["dense2"]["kernel"])),
+                ("model_3/dense_10/bias:0", np.asarray(stn["dense2"]["bias"])),
+            ],
+        )
+    recovered = weights_lib.crnn_variables_from_h5(path, include_top=True)
+    weights_lib.validate_against(recovered, variables)
+    for a, b in zip(jax.tree.leaves(recovered), jax.tree.leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_crnn_h5_notop(tmp_path):
     # notop file lacks fc_12; converter must skip it.
     model = CRNN(alphabet_size=5)
