@@ -25,9 +25,9 @@ format-check:
 
 lint-check:
 	@if $(PYTHON) -c "import pyflakes" 2>/dev/null; then \
-		$(PYTHON) -m pyflakes keras_ocr_tpu scripts bench.py __graft_entry__.py; \
+		$(PYTHON) -m pyflakes keras_ocr_tpu tests scripts bench.py __graft_entry__.py; \
 	else \
-		$(PYTHON) scripts/lint_ast.py keras_ocr_tpu scripts bench.py __graft_entry__.py; \
+		$(PYTHON) scripts/lint_ast.py keras_ocr_tpu tests scripts bench.py __graft_entry__.py; \
 	fi
 
 type-check:

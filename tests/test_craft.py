@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from keras_ocr_tpu import weights as weights_lib
-from keras_ocr_tpu.models.craft import CRAFT, VGG_BLOCKS
+from keras_ocr_tpu.models.craft import CRAFT
 from keras_ocr_tpu.ops.image import compute_input, invert_input, resize_bilinear
 
 torch = pytest.importorskip("torch")
@@ -80,6 +80,20 @@ def test_torch_state_dict_round_trip():
     for a, b in zip(
         jax.tree.leaves(recovered), jax.tree.leaves(variables)
     ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_torch_pth_file_round_trip(tmp_path):
+    """load_torch_checkpoint on a torch.save'd .pth laid out like the
+    published craft_mlt_25k.pth (plain state_dict, "module." prefixes,
+    reference detection.py:628-637)."""
+    _, variables = _init_variables(seed=5)
+    sd = _variables_to_torch_state_dict(variables)
+    path = str(tmp_path / "craft.pth")
+    torch.save({f"module.{k}": v for k, v in sd.items()}, path)
+    recovered = weights_lib.load_torch_checkpoint(path)
+    weights_lib.validate_against(recovered, variables)
+    for a, b in zip(jax.tree.leaves(recovered), jax.tree.leaves(variables)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 

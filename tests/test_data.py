@@ -1,9 +1,7 @@
 """Tests for the data subsystem: targets, augmentation, generation, datasets."""
 
-import os
 
 import numpy as np
-import pytest
 
 from keras_ocr_tpu import detection, tools
 from keras_ocr_tpu.data import augmentation, datasets, generation

@@ -15,7 +15,6 @@ import pytest
 
 pytestmark = pytest.mark.slow  # compile-heavy; `make test-all` / nightly CI
 
-import jax.numpy as jnp
 
 import keras_ocr_tpu
 from keras_ocr_tpu import tools

@@ -15,7 +15,6 @@ import pytest
 pytestmark = pytest.mark.slow  # compile-heavy; `make test-all` / nightly CI
 
 import jax
-import jax.numpy as jnp
 
 from keras_ocr_tpu.detection import Detector
 from keras_ocr_tpu.recognition import Recognizer

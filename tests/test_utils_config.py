@@ -1,6 +1,5 @@
 """Tests for config and profiling utilities."""
 
-import numpy as np
 
 import jax.numpy as jnp
 
