@@ -228,25 +228,36 @@ def get_icdar_2013_detector_dataset(cache_dir=None, skip_illegible=False):
     for gt_filepath in glob.glob(os.path.join(training_gt_dir, "*.txt")):
         image_id = os.path.split(gt_filepath)[1].split("_")[0]
         image_path = os.path.join(training_images_dir, image_id + ".jpg")
-        lines = []
         with open(gt_filepath, "r", encoding="utf8") as f:
-            current_line: typing.List[typing.Tuple[np.ndarray, str]] = []
-            for raw_row in f.read().split("\n"):
-                if raw_row == "":
-                    lines.append(current_line)
-                    current_line = []
-                else:
-                    row = raw_row.split(" ")[5:]
-                    character = row[-1][1:-1]
-                    if character == "" and skip_illegible:
-                        continue
-                    x1, y1, x2, y2 = map(int, row[:4])
-                    current_line.append(
-                        (np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]]), character)
-                    )
-        lines = [line for line in lines if line]
+            lines = _parse_icdar_2013_gt(f.read(), skip_illegible=skip_illegible)
         dataset.append((image_path, lines, 1))
     return dataset
+
+
+def _parse_icdar_2013_gt(text, skip_illegible=False):
+    """Character rows -> [[(char box(4,2), char), ...] per line].
+
+    Format (reference datasets.py:260-277): space-separated rows of
+    ``r g b cx cy x1 y1 x2 y2 "c"``; a blank row ends the current line;
+    an empty quoted character marks an illegible glyph.
+    """
+    lines = []
+    current_line: typing.List[typing.Tuple[np.ndarray, str]] = []
+    for raw_row in text.split("\n"):
+        if raw_row == "":
+            lines.append(current_line)
+            current_line = []
+            continue
+        row = raw_row.split(" ")[5:]
+        character = row[-1][1:-1]
+        if character == "" and skip_illegible:
+            continue
+        x1, y1, x2, y2 = map(int, row[:4])
+        current_line.append(
+            (np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]]), character)
+        )
+    # Lines that held only illegible characters end up empty; drop them.
+    return [line for line in lines if line]
 
 
 def get_icdar_2019_semisupervised_dataset(cache_dir=None):
