@@ -13,6 +13,7 @@ oracle for the device kernels and available as a fallback.
 from __future__ import annotations
 
 import typing
+import warnings
 
 import numpy as np
 import jax
@@ -27,6 +28,11 @@ from .ops import postprocess as postprocess_ops
 # API parity with the reference module attribute (detection.py:647-658).
 from .data.detection_targets import compute_maps  # noqa: F401,E402
 from .weights import DETECTOR_PRETRAINED as PRETRAINED_WEIGHTS  # noqa: E402
+
+# Hard ceiling for the device component-cap escalation: the post-process
+# staircase tables are O(H x cap), so this bounds memory on degenerate
+# (noise-saturated) heatmaps while covering any real scene.
+MAX_COMPONENTS_CEILING = 1024
 
 
 def compute_input(image):
@@ -229,14 +235,32 @@ class Detector:
         images_array = np.array([compute_input(tools.read(image)) for image in images])
         heatmaps = self._forward(self.variables, jnp.asarray(images_array))
         if use_device_postprocess:
-            boxes, mask = postprocess_ops.get_boxes(
-                heatmaps,
-                detection_threshold=detection_threshold,
-                text_threshold=text_threshold,
-                link_threshold=link_threshold,
-                size_threshold=size_threshold,
-                max_components=self.max_components,
-            )
+            # The device kernel labels at most `cap` components; the kernel
+            # also reports the TOTAL it found, so a busy scene escalates to
+            # a doubled cap (one extra cached compile per cap) instead of
+            # silently dropping components the reference would keep.
+            cap = self.max_components
+            while True:
+                boxes, mask, ncomp = postprocess_ops.get_boxes(
+                    heatmaps,
+                    detection_threshold=detection_threshold,
+                    text_threshold=text_threshold,
+                    link_threshold=link_threshold,
+                    size_threshold=size_threshold,
+                    max_components=cap,
+                )
+                found = int(np.asarray(ncomp).max()) if len(images) else 0
+                if found <= cap or cap >= MAX_COMPONENTS_CEILING:
+                    if found > cap:
+                        warnings.warn(
+                            f"{found} thresholded components exceed the "
+                            f"{MAX_COMPONENTS_CEILING} device cap; extra "
+                            "components were dropped. Use "
+                            "use_device_postprocess=False for this image.",
+                            stacklevel=2,
+                        )
+                    break
+                cap = min(cap * 2, MAX_COMPONENTS_CEILING)
             return boxes_from_mask(boxes, mask)
         return getBoxes(
             np.asarray(heatmaps),

@@ -90,6 +90,11 @@ def get_boxes(
         boxes: (B, max_components, 4, 2) float32 corners in input-image
             coordinates (heatmap coords x2), clockwise, min-(x+y) first.
         mask: (B, max_components) bool validity.
+        num_components: (B,) int32 TOTAL thresholded components found per
+            image (before the ``max_components`` capacity drop) — when this
+            exceeds ``max_components``, components were silently dropped in
+            raster order and the caller should rerun with a bigger cap
+            (the reference's host loop has no cap, detection.py:227-285).
     """
 
     def single(hm):
@@ -160,7 +165,7 @@ def _get_boxes_single(
     fg = text_score | link_score
 
     label = label_components(fg)
-    comp, _ = compact_labels(label, max_components)
+    comp, n_total = compact_labels(label, max_components)
 
     # Segment ids for the overlap-removed segmap (detection.py:244-246).
     overlap = link_score & text_score
@@ -286,4 +291,4 @@ def _get_boxes_single(
 
     valid = valid & (n_seg > 0)
     boxes = jnp.where(valid[:, None, None], boxes * 2.0, 0.0)
-    return boxes.astype(jnp.float32), valid
+    return boxes.astype(jnp.float32), valid, n_total

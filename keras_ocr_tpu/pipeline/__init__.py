@@ -95,10 +95,15 @@ class Pipeline:
                 f"max_words={max_words}; got {tuple(word_buckets)}"
             )
         self.word_buckets = tuple(int(b) for b in word_buckets)
+        self._component_cap = detector.max_components if detector else 256
         self._bucket_start = 0
         # Per-call observability: bucket escalations + images whose word
         # slots all filled at the top bucket (possible truncation).
-        self.last_run_stats = {"escalations": 0, "truncated_images": 0}
+        self.last_run_stats = {
+            "escalations": 0,
+            "truncated_images": 0,
+            "component_escalations": 0,
+        }
         self.size_bucket = size_bucket
         self.pad_to = pad_to
         # Optional data-parallel inference: shard the image batch over the
@@ -184,7 +189,7 @@ class Pipeline:
             heatmaps = jax.lax.with_sharding_constraint(
                 heatmaps, self._batch_sharding
             )
-        boxes, mask = postprocess_ops.get_boxes(
+        boxes, mask, ncomp = postprocess_ops.get_boxes(
             heatmaps,
             detection_threshold=detection_threshold,
             text_threshold=text_threshold,
@@ -220,11 +225,16 @@ class Pipeline:
         # Pack everything into ONE output array so the host needs a single
         # fetch (each fetch pays a full RPC round trip on tunneled TPUs).
         # Values are small ints / coords, exactly representable in fp32.
+        # Last column = total thresholded components found (broadcast per
+        # image) so the host can escalate max_components on overflow.
         packed = jnp.concatenate(
             [
                 boxes_c.reshape(batch, words, 8),
                 mask_c[..., None].astype(jnp.float32),
                 decoded.astype(jnp.float32),
+                jnp.broadcast_to(
+                    ncomp.astype(jnp.float32)[:, None, None], (batch, words, 1)
+                ),
             ],
             axis=-1,
         )
@@ -315,7 +325,9 @@ class Pipeline:
             device_batch = jnp.asarray(batch)
         return device_batch, scales, num_real, resize_to
 
-    def _launch(self, device_batch, detection_kwargs, bucket, resize_to):
+    def _launch(
+        self, device_batch, detection_kwargs, bucket, resize_to, components=None
+    ):
         """Asynchronously dispatch the fused program at one word bucket."""
         return self._fused(
             self.detector.variables,
@@ -327,13 +339,13 @@ class Pipeline:
             text_threshold=float(detection_kwargs.get("text_threshold", 0.4)),
             link_threshold=float(detection_kwargs.get("link_threshold", 0.4)),
             size_threshold=float(detection_kwargs.get("size_threshold", 10)),
-            max_components=self.detector.max_components,
+            max_components=components or self._component_cap,
             max_words=bucket,
             resize_to=resize_to,
         )
 
     def _fetch_escalating(
-        self, packed_dev, device_batch, detection_kwargs, resize_to, num_real
+        self, packed_dev, device_batch, detection_kwargs, resize_to, num_real, bucket
     ):
         """Fetch a dispatched result; escalate the word bucket on overflow.
 
@@ -344,9 +356,28 @@ class Pipeline:
         program per call.
         """
         remaining = list(
-            self.word_buckets[self.word_buckets.index(packed_dev.shape[1]) + 1 :]
+            self.word_buckets[self.word_buckets.index(bucket) + 1 :]
         )
         packed = np.asarray(packed_dev)[:num_real]
+        # Component overflow first: the kernel reports the TOTAL components
+        # it found (last packed column); if that exceeds the cap it labeled
+        # with, components were dropped in raster order — rerun with a
+        # doubled cap (sticky, one extra cached compile per cap) so busy
+        # scenes keep reference-equivalent recall.
+        from ..detection import MAX_COMPONENTS_CEILING
+
+        while (
+            len(packed)
+            and int(packed[:, 0, -1].max()) > self._component_cap
+            and self._component_cap < MAX_COMPONENTS_CEILING
+        ):
+            self._component_cap = min(
+                self._component_cap * 2, MAX_COMPONENTS_CEILING
+            )
+            self.last_run_stats["component_escalations"] += 1
+            packed = np.asarray(
+                self._launch(device_batch, detection_kwargs, bucket, resize_to)
+            )[:num_real]
         while bool((packed[..., 8] > 0.5).all(axis=1).any()) and remaining:
             bucket = remaining.pop(0)
             self.last_run_stats["escalations"] += 1
@@ -378,7 +409,7 @@ class Pipeline:
         """Unpack the fetched (B, words, 8+1+T) array into the ragged API."""
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
-        decoded = packed[..., 9:].astype("int32")
+        decoded = packed[..., 9:-1].astype("int32")
 
         results = []
         for i, scale in enumerate(scales):
@@ -412,16 +443,16 @@ class Pipeline:
             return self._recognize_two_stage(
                 images, detection_kwargs, dict(recognition_kwargs)
             )
-        self.last_run_stats = {"escalations": 0, "truncated_images": 0}
+        self.last_run_stats = {
+            "escalations": 0,
+            "truncated_images": 0,
+            "component_escalations": 0,
+        }
         device_batch, scales, num_real, resize_to = self._prepare(images)
-        packed_dev = self._launch(
-            device_batch,
-            detection_kwargs,
-            self.word_buckets[self._bucket_start],
-            resize_to,
-        )
+        bucket = self.word_buckets[self._bucket_start]
+        packed_dev = self._launch(device_batch, detection_kwargs, bucket, resize_to)
         packed = self._fetch_escalating(
-            packed_dev, device_batch, detection_kwargs, resize_to, num_real
+            packed_dev, device_batch, detection_kwargs, resize_to, num_real, bucket
         )
         return self._finalize(packed, scales)
 
@@ -477,29 +508,38 @@ class Pipeline:
         ``recognize`` called per chunk.
         """
         detection_kwargs = dict(detection_kwargs or {})
-        self.last_run_stats = {"escalations": 0, "truncated_images": 0}
+        self.last_run_stats = {
+            "escalations": 0,
+            "truncated_images": 0,
+            "component_escalations": 0,
+        }
         if not isinstance(images, (list, tuple)):
             images = list(images)
         inflight: typing.List[tuple] = []
         results: typing.List[list] = []
 
         def drain_one():
-            packed_dev, device_batch, resize_to, num_real, scales = inflight.pop(0)
+            (
+                packed_dev,
+                device_batch,
+                resize_to,
+                num_real,
+                scales,
+                bucket,
+            ) = inflight.pop(0)
             packed = self._fetch_escalating(
-                packed_dev, device_batch, detection_kwargs, resize_to, num_real
+                packed_dev, device_batch, detection_kwargs, resize_to, num_real, bucket
             )
             results.extend(self._finalize(packed, scales))
 
         for start in range(0, len(images), batch_size):
             chunk = images[start : start + batch_size]
             device_batch, scales, num_real, resize_to = self._prepare(chunk)
-            packed_dev = self._launch(
-                device_batch,
-                detection_kwargs,
-                self.word_buckets[self._bucket_start],
-                resize_to,
+            bucket = self.word_buckets[self._bucket_start]
+            packed_dev = self._launch(device_batch, detection_kwargs, bucket, resize_to)
+            inflight.append(
+                (packed_dev, device_batch, resize_to, num_real, scales, bucket)
             )
-            inflight.append((packed_dev, device_batch, resize_to, num_real, scales))
             if len(inflight) > queue_depth:
                 drain_one()
         while inflight:
@@ -616,7 +656,7 @@ class ExportedPipeline:
         packed = np.asarray(self._exported.call(batch))[: len(images)]
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
-        decoded = packed[..., 9:].astype("int32")
+        decoded = packed[..., 9:-1].astype("int32")
         results = []
         for i in range(len(images)):
             valid = mask[i]

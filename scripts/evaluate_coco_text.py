@@ -151,7 +151,7 @@ def main():
 
     pred = {}
     latencies = []
-    escalations = truncated = 0
+    escalations = truncated = component_escalations = 0
     for filepath in sorted(true):
         image = images[filepath]
         start = time.perf_counter()
@@ -159,6 +159,9 @@ def main():
         latencies.append(time.perf_counter() - start)
         escalations += pipeline.last_run_stats["escalations"]
         truncated += pipeline.last_run_stats["truncated_images"]
+        component_escalations += pipeline.last_run_stats.get(
+            "component_escalations", 0
+        )
         pred[filepath] = [
             {"text": word, "vertices": box} for word, box in predictions
         ]
@@ -180,6 +183,7 @@ def main():
         "mean_latency_ms": round(float(np.mean(latencies)) * 1000, 2),
         "escalations": escalations,
         "truncated_images": truncated,
+        "component_escalations": component_escalations,
     }
     print(json.dumps(result))
     with open(args.output, "w", encoding="utf8") as f:

@@ -475,8 +475,12 @@ def test_pipeline_truncation_stats(random_pipeline):
     image = np.zeros((64, 64, 3), dtype="uint8") + 255
     random_pipeline.recognize(images=[image])
     stats = random_pipeline.last_run_stats
-    assert set(stats) == {"escalations", "truncated_images"}
-    assert stats["escalations"] >= 0 and stats["truncated_images"] >= 0
+    assert set(stats) == {
+        "escalations",
+        "truncated_images",
+        "component_escalations",
+    }
+    assert all(value >= 0 for value in stats.values())
 
 
 def test_hybrid_mesh_batch_padding():
@@ -506,3 +510,45 @@ def test_hybrid_mesh_batch_padding():
     ]
     groups = pipeline.recognize(images=images)
     assert len(groups) == 2
+
+
+def test_pipeline_component_cap_escalation():
+    """A scene with more thresholded components than the detector's cap
+    must escalate (component_escalations > 0) and return every word the
+    host oracle would, instead of silently dropping raster-late ones."""
+    import string
+
+    import jax.numpy as jnp
+
+    from tests.test_postprocess import _synthetic_heatmap
+
+    rng = np.random.RandomState(9)
+    hm = _synthetic_heatmap(rng, height=128, width=192, n_words=6)
+    host_count = len(keras_ocr_tpu.detection.getBoxes(hm[None])[0])
+    assert host_count >= 4
+
+    detector = Detector(weights=None, max_components=2)
+
+    class _StubModel:
+        @staticmethod
+        def apply(variables, x, train=False):
+            heat = jnp.asarray(hm)
+            return jnp.broadcast_to(heat, (x.shape[0],) + heat.shape)
+
+    detector.model = _StubModel()
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector,
+        recognizer=recognizer,
+        scale=2,
+        max_words=16,
+        pad_to=(128, 192),
+    )
+    predictions = pipeline.recognize(
+        images=[np.zeros((128, 192, 3), dtype="uint8")]
+    )[0]
+    assert pipeline.last_run_stats["component_escalations"] >= 1
+    assert pipeline._component_cap >= host_count
+    assert len(predictions) == host_count
