@@ -119,10 +119,17 @@ def main():
     import urllib.error
 
     weights_provenance = "pretrained"
+    # Dense benchmark scenes (signage, storefronts) can exceed the default
+    # 64-word cap; give the ladder headroom so truncation can't cost recall.
+    pipeline_kwargs = dict(
+        scale=args.scale,
+        max_size=args.max_size,
+        pad_to=(pad_h, pad_w),
+        max_words=128,
+        word_buckets=(16, 64, 128),
+    )
     try:
-        pipeline = keras_ocr_tpu.Pipeline(
-            scale=args.scale, max_size=args.max_size, pad_to=(pad_h, pad_w)
-        )
+        pipeline = keras_ocr_tpu.Pipeline(**pipeline_kwargs)
     except (urllib.error.URLError, OSError, AssertionError) as exc:
         # Weight download/verify failed — fall back to random weights so
         # the PROTOCOL can still be smoke-tested offline, but say so loudly
@@ -144,9 +151,7 @@ def main():
             recognizer=Recognizer(
                 weights=None, alphabet=string.digits + string.ascii_lowercase
             ),
-            scale=args.scale,
-            max_size=args.max_size,
-            pad_to=(pad_h, pad_w),
+            **pipeline_kwargs,
         )
 
     pred = {}
