@@ -406,7 +406,7 @@ class Pipeline:
         return packed
 
     def _finalize(self, packed, scales):
-        """Unpack the fetched (B, words, 8+1+T) array into the ragged API."""
+        """Unpack the fetched (B, words, 8+1+T+1) array into the ragged API."""
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
         decoded = packed[..., 9:-1].astype("int32")
