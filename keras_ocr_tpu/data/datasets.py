@@ -68,10 +68,13 @@ def get_cocotext_recognizer_dataset(
     ]
     if limit:
         selected_ids = selected_ids[:limit]
+        selected_set = set(selected_ids)
         labels["imgToAnns"] = {
-            k: v for k, v in labels["imgToAnns"].items() if k in selected_ids
+            k: v for k, v in labels["imgToAnns"].items() if k in selected_set
         }
-        labels["imgs"] = {k: v for k, v in labels["imgs"].items() if k in selected_ids}
+        labels["imgs"] = {
+            k: v for k, v in labels["imgs"].items() if k in selected_set
+        }
         kept_anns = set(
             itertools.chain.from_iterable(labels["imgToAnns"].values())
         )
@@ -110,9 +113,16 @@ def get_cocotext_recognizer_dataset(
         ]
         selected_ids = [cocoid for cocoid, _ in kept]
         selected_filenames = [filename for _, filename in kept]
-        labels["imgs"] = {k: v for k, v in labels["imgs"].items() if k in selected_ids}
+        kept_ids = set(selected_ids)
+        labels["imgs"] = {k: v for k, v in labels["imgs"].items() if k in kept_ids}
         labels["imgToAnns"] = {
-            k: v for k, v in labels["imgToAnns"].items() if k in selected_ids
+            k: v for k, v in labels["imgToAnns"].items() if k in kept_ids
+        }
+        kept_anns = set(
+            itertools.chain.from_iterable(labels["imgToAnns"].values())
+        )
+        labels["anns"] = {
+            k: v for k, v in labels["anns"].items() if int(k) in kept_anns
         }
     dataset = []
     for selected_id, filename in zip(selected_ids, selected_filenames):

@@ -95,7 +95,7 @@ class Pipeline:
                 f"max_words={max_words}; got {tuple(word_buckets)}"
             )
         self.word_buckets = tuple(int(b) for b in word_buckets)
-        self._component_cap = detector.max_components if detector else 256
+        self._component_cap = detector.max_components
         self._bucket_start = 0
         # Per-call observability: bucket escalations + images whose word
         # slots all filled at the top bucket (possible truncation).
@@ -326,7 +326,7 @@ class Pipeline:
         return device_batch, scales, num_real, resize_to
 
     def _launch(
-        self, device_batch, detection_kwargs, bucket, resize_to, components=None
+        self, device_batch, detection_kwargs, bucket, resize_to, components
     ):
         """Asynchronously dispatch the fused program at one word bucket."""
         return self._fused(
@@ -339,13 +339,20 @@ class Pipeline:
             text_threshold=float(detection_kwargs.get("text_threshold", 0.4)),
             link_threshold=float(detection_kwargs.get("link_threshold", 0.4)),
             size_threshold=float(detection_kwargs.get("size_threshold", 10)),
-            max_components=components or self._component_cap,
+            max_components=components,
             max_words=bucket,
             resize_to=resize_to,
         )
 
     def _fetch_escalating(
-        self, packed_dev, device_batch, detection_kwargs, resize_to, num_real, bucket
+        self,
+        packed_dev,
+        device_batch,
+        detection_kwargs,
+        resize_to,
+        num_real,
+        bucket,
+        components,
     ):
         """Fetch a dispatched result; escalate the word bucket on overflow.
 
@@ -354,6 +361,11 @@ class Pipeline:
         are identical to having used the big bucket directly. The sticky
         start remembers the density so steady workloads pay exactly ONE
         program per call.
+
+        ``components`` is the component cap ``packed_dev`` was LAUNCHED
+        with — overflow must be judged against that, not the mutable
+        ``self._component_cap``, which another in-flight chunk may already
+        have escalated past this result's actual cap.
         """
         remaining = list(
             self.word_buckets[self.word_buckets.index(bucket) + 1 :]
@@ -368,21 +380,24 @@ class Pipeline:
 
         while (
             len(packed)
-            and int(packed[:, 0, -1].max()) > self._component_cap
-            and self._component_cap < MAX_COMPONENTS_CEILING
+            and int(packed[:, 0, -1].max()) > components
+            and components < MAX_COMPONENTS_CEILING
         ):
-            self._component_cap = min(
-                self._component_cap * 2, MAX_COMPONENTS_CEILING
-            )
+            components = min(components * 2, MAX_COMPONENTS_CEILING)
+            self._component_cap = max(self._component_cap, components)
             self.last_run_stats["component_escalations"] += 1
             packed = np.asarray(
-                self._launch(device_batch, detection_kwargs, bucket, resize_to)
+                self._launch(
+                    device_batch, detection_kwargs, bucket, resize_to, components
+                )
             )[:num_real]
         while bool((packed[..., 8] > 0.5).all(axis=1).any()) and remaining:
             bucket = remaining.pop(0)
             self.last_run_stats["escalations"] += 1
             packed = np.asarray(
-                self._launch(device_batch, detection_kwargs, bucket, resize_to)
+                self._launch(
+                    device_batch, detection_kwargs, bucket, resize_to, components
+                )
             )[:num_real]
         saturated = int((packed[..., 8] > 0.5).all(axis=1).sum()) if len(packed) else 0
         if saturated:
@@ -439,20 +454,29 @@ class Pipeline:
         the recognizer call in.
         """
         detection_kwargs = dict(detection_kwargs or {})
-        if recognition_kwargs:
-            return self._recognize_two_stage(
-                images, detection_kwargs, dict(recognition_kwargs)
-            )
         self.last_run_stats = {
             "escalations": 0,
             "truncated_images": 0,
             "component_escalations": 0,
         }
+        if recognition_kwargs:
+            return self._recognize_two_stage(
+                images, detection_kwargs, dict(recognition_kwargs)
+            )
         device_batch, scales, num_real, resize_to = self._prepare(images)
         bucket = self.word_buckets[self._bucket_start]
-        packed_dev = self._launch(device_batch, detection_kwargs, bucket, resize_to)
+        components = self._component_cap
+        packed_dev = self._launch(
+            device_batch, detection_kwargs, bucket, resize_to, components
+        )
         packed = self._fetch_escalating(
-            packed_dev, device_batch, detection_kwargs, resize_to, num_real, bucket
+            packed_dev,
+            device_batch,
+            detection_kwargs,
+            resize_to,
+            num_real,
+            bucket,
+            components,
         )
         return self._finalize(packed, scales)
 
@@ -526,9 +550,16 @@ class Pipeline:
                 num_real,
                 scales,
                 bucket,
+                components,
             ) = inflight.pop(0)
             packed = self._fetch_escalating(
-                packed_dev, device_batch, detection_kwargs, resize_to, num_real, bucket
+                packed_dev,
+                device_batch,
+                detection_kwargs,
+                resize_to,
+                num_real,
+                bucket,
+                components,
             )
             results.extend(self._finalize(packed, scales))
 
@@ -536,9 +567,20 @@ class Pipeline:
             chunk = images[start : start + batch_size]
             device_batch, scales, num_real, resize_to = self._prepare(chunk)
             bucket = self.word_buckets[self._bucket_start]
-            packed_dev = self._launch(device_batch, detection_kwargs, bucket, resize_to)
+            components = self._component_cap
+            packed_dev = self._launch(
+                device_batch, detection_kwargs, bucket, resize_to, components
+            )
             inflight.append(
-                (packed_dev, device_batch, resize_to, num_real, scales, bucket)
+                (
+                    packed_dev,
+                    device_batch,
+                    resize_to,
+                    num_real,
+                    scales,
+                    bucket,
+                    components,
+                )
             )
             if len(inflight) > queue_depth:
                 drain_one()
@@ -656,7 +698,10 @@ class ExportedPipeline:
         packed = np.asarray(self._exported.call(batch))[: len(images)]
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
-        decoded = packed[..., 9:-1].astype("int32")
+        # Slice by the artifact's own CTC length: artifacts exported before
+        # the trailing ncomp column have width 9+T, newer ones 9+T+1 — a
+        # fixed [9:-1] would silently drop the last timestep on the former.
+        decoded = packed[..., 9 : 9 + self.meta["ctc_time"]].astype("int32")
         results = []
         for i in range(len(images)):
             valid = mask[i]

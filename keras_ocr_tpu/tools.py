@@ -616,7 +616,6 @@ def drawAnnotations(image, predictions, ax=None):
         for slot, (text, box) in enumerate(group):
             place_label(side, slot, len(group), text, box)
     return ax
-    return ax
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ handcrafted fixtures in the published formats
 (reference /root/reference/keras_ocr/datasets.py).
 """
 
+import itertools
 import json
 import zipfile
 
@@ -96,9 +97,15 @@ def test_cocotext_loader_drops_failed_downloads(tmp_path, monkeypatch):
         )
     finally:
         monkeypatch.setattr(tools, "download_and_verify", real_download)
-    # Image 1 failed to download: pruned from dataset AND raw labels.
+    # Image 1 failed to download: pruned from dataset AND raw labels —
+    # including its annotations, so return_raw_labels callers never see
+    # anns for images that are not on disk.
     assert len(labels["imgs"]) == 2
     assert all(not f["file_name"].endswith("000001.jpg") for f in labels["imgs"].values())
+    kept_anns = set(
+        itertools.chain.from_iterable(labels["imgToAnns"].values())
+    )
+    assert {int(k) for k in labels["anns"]} == kept_anns
     words = sorted(word for _, _, word in dataset)
     assert words == ["word0", "word2"]
 

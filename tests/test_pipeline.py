@@ -265,11 +265,12 @@ def test_pipeline_word_bucket_escalation():
     def fake_fused(det_vars, rec_vars, images, *, max_words, **kw):
         seen.append(max_words)
         batch = images.shape[0]
-        packed = np.zeros((batch, max_words, 9 + 48), dtype="float32")
+        packed = np.zeros((batch, max_words, 9 + 48 + 1), dtype="float32")
         k = min(n_words, max_words)
         packed[:, :k, 8] = 1.0  # validity mask
         packed[:, :, :8] = 1.0  # degenerate but nonzero boxes
-        packed[:, :, 9:] = -1.0  # empty decoded strings
+        packed[:, :, 9:-1] = -1.0  # empty decoded strings
+        packed[:, :, -1] = n_words  # TOTAL components found (ncomp column)
         return packed
 
     pipeline._fused = fake_fused
@@ -552,3 +553,48 @@ def test_pipeline_component_cap_escalation():
     assert pipeline.last_run_stats["component_escalations"] >= 1
     assert pipeline._component_cap >= host_count
     assert len(predictions) == host_count
+
+
+def test_recognize_many_component_cap_race():
+    """Each pipelined chunk must be judged against the component cap it was
+    LAUNCHED with: chunk A escalating the shared sticky cap while chunk B is
+    in flight must not let B's capped result pass without a rerun."""
+    import string
+
+    detector = Detector(weights=None, max_components=2)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector,
+        recognizer=recognizer,
+        scale=2,
+        max_words=16,
+        word_buckets=(16,),
+    )
+    n_components = 5
+    launches = []
+
+    def fake_fused(
+        det_vars, rec_vars, images, *, max_components, max_words, **kw
+    ):
+        launches.append(max_components)
+        batch = images.shape[0]
+        packed = np.zeros((batch, max_words, 9 + 48 + 1), dtype="float32")
+        k = min(n_components, max_components, max_words)
+        packed[:, :k, 8] = 1.0  # validity mask: capped at the launch cap
+        packed[:, :, :8] = 1.0  # degenerate but nonzero boxes
+        packed[:, :, 9:-1] = -1.0  # empty decoded strings
+        packed[:, :, -1] = n_components  # TOTAL components found
+        return packed
+
+    pipeline._fused = fake_fused
+    image = np.zeros((64, 96, 3), dtype="uint8")
+    # 2 chunks, queue_depth=2: BOTH launch at the initial cap (2) before
+    # either drains. Draining chunk A escalates the sticky cap to 8; chunk
+    # B's result was still computed at cap 2 and must rerun too.
+    results = pipeline.recognize_many([image] * 4, batch_size=2, queue_depth=2)
+    assert launches[:2] == [2, 2]
+    assert all(len(words) == n_components for words in results)
+    assert pipeline.last_run_stats["component_escalations"] == 4
+    assert pipeline._component_cap == 8
