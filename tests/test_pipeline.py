@@ -598,3 +598,47 @@ def test_recognize_many_component_cap_race():
     assert all(len(words) == n_components for words in results)
     assert pipeline.last_run_stats["component_escalations"] == 4
     assert pipeline._component_cap == 8
+
+
+def test_exported_pipeline_slices_by_artifact_ctc_time():
+    """ExportedPipeline must slice decoded frames by the artifact's own
+    ctc_time: serving a pre-ncomp-column artifact (packed width 9+T) with a
+    fixed [9:-1] slice would silently drop each word's final CTC frame."""
+    from keras_ocr_tpu.pipeline import ExportedPipeline
+
+    ctc_time = 4
+    alphabet = "ab"
+    meta = {
+        "alphabet": alphabet,
+        "scale": 1,
+        "height": 8,
+        "width": 8,
+        "batch_size": 1,
+        "max_words": 2,
+        "ctc_time": ctc_time,
+    }
+
+    def make_packed(extra_cols):
+        packed = np.zeros((1, 2, 9 + ctc_time + extra_cols), dtype="float32")
+        packed[0, 0, 8] = 1.0  # one valid word
+        packed[0, 0, :8] = [0, 0, 4, 0, 4, 4, 0, 4]
+        # Greedy-decoded frames: 'a', blank, 'b', 'a' — the trailing 'a'
+        # lives in the LAST frame, exactly what a short slice loses.
+        packed[0, 0, 9 : 9 + ctc_time] = [0, 2, 1, 0]
+        if extra_cols:
+            packed[0, 0, -1] = 1.0  # ncomp column (new layout)
+        return packed
+
+    class FakeExported:
+        def __init__(self, packed):
+            self._packed = packed
+
+        def call(self, batch):
+            return self._packed
+
+    image = np.zeros((8, 8, 3), dtype="uint8")
+    for extra_cols in (0, 1):  # old layout, new layout
+        served = ExportedPipeline(FakeExported(make_packed(extra_cols)), meta)
+        [(word, box)] = served.recognize([image])[0:1][0]
+        assert word == "aba", (extra_cols, word)
+        assert box.shape == (4, 2)
