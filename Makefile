@@ -61,7 +61,8 @@ native:
 	g++ -O3 -shared -fPIC -o keras_ocr_tpu/_native/libhostops.so csrc/hostops.cpp
 
 docs:
-	@echo "Docs are plain markdown under docs/."
+	$(PYTHON) scripts/generate_api_docs.py
+	@echo "Docs are plain markdown under docs/ (api.md regenerated)."
 
 clean:
 	rm -rf keras_ocr_tpu/_native .pytest_cache
