@@ -132,10 +132,17 @@ def upsample_like(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def rgb_to_grayscale(image: jnp.ndarray) -> jnp.ndarray:
-    """ITU-R 601 luma transform matching ``cv2.cvtColor(RGB2GRAY)``.
+    """ITU-R 601 luma, bit-exact with ``cv2.cvtColor(RGB2GRAY)`` on
+    uint8-valued inputs.
 
     Used for recognizer input prep (the reference converts crops on host at
-    /root/reference/keras_ocr/recognition.py:429-436,508-510).
+    /root/reference/keras_ocr/recognition.py:429-436,508-510). OpenCV's
+    fixed-point ``(9798*R + 19235*G + 3735*B + 2**14) >> 15`` is reproduced
+    in fp32: the accumulator stays below 2**24 (max 255*32768 + 2**14) so
+    every intermediate is an exact integer, and the final divide is by a
+    power of two (exponent shift), so ``floor`` lands exactly where the
+    integer shift does.
     """
-    weights = jnp.asarray([0.299, 0.587, 0.114], dtype=jnp.float32)
-    return jnp.tensordot(image.astype(jnp.float32), weights, axes=[[-1], [0]])
+    weights = jnp.asarray([9798.0, 19235.0, 3735.0], dtype=jnp.float32)
+    acc = jnp.tensordot(image.astype(jnp.float32), weights, axes=[[-1], [0]])
+    return jnp.floor((acc + 16384.0) * (1.0 / 32768.0))

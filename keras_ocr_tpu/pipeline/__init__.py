@@ -204,9 +204,10 @@ class Pipeline:
 
         height, width, channels = self.recognizer.input_shape
         if channels == 1:
-            # Grayscale with uint8 rounding to match the reference's host
-            # cvtColor-then-warp order (recognition.py:508-510).
-            source = jnp.rint(jnp.clip(rgb_to_grayscale(images), 0, 255))
+            # Grayscale before warping to match the reference's host
+            # cvtColor-then-warp order (recognition.py:508-510);
+            # rgb_to_grayscale already applies cv2's uint8 quantization.
+            source = jnp.clip(rgb_to_grayscale(images), 0, 255)
             crops = warp_boxes_batch(
                 source, boxes_c, target_height=height, target_width=width
             )  # (B, W, h, w)

@@ -81,9 +81,18 @@ def build_model(
 
 
 def rgb_to_grayscale_host(image: np.ndarray) -> np.ndarray:
-    """uint8 RGB -> uint8 gray with cv2.cvtColor(RGB2GRAY) rounding."""
-    weights = np.array([0.299, 0.587, 0.114])
-    return np.rint(image.astype("float64") @ weights).clip(0, 255).astype("uint8")
+    """uint8 RGB -> uint8 gray, bit-exact with ``cv2.cvtColor(RGB2GRAY)``.
+
+    OpenCV computes the ITU-R 601 luma in fixed point —
+    ``(9798*R + 19235*G + 3735*B + 2**14) >> 15`` (verified exhaustively
+    against cv2 on value grids; a float ``np.rint`` differs by one count
+    near exact halves). Reproduce the integer math directly.
+    """
+    rgb = image.astype(np.int64)
+    gray = (
+        9798 * rgb[..., 0] + 19235 * rgb[..., 1] + 3735 * rgb[..., 2] + (1 << 14)
+    ) >> 15
+    return gray.astype("uint8")
 
 
 class Recognizer:
