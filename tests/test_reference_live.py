@@ -391,6 +391,88 @@ def test_recognizer_batch_generator_parity(ref_recognizer):
     np.testing.assert_array_equal(z_o, z_t)
 
 
+def test_torch_state_dict_parity_vs_reference_torch_craft(ref):
+    """The .pth path against the TRUE NAVER state_dict naming.
+
+    The reference's own torch CRAFT (detection.py:472-644) is built (its
+    only external need, ``torchvision.models.vgg16_bn().features``, is a
+    deterministic Sequential stubbed here with real torch layers in the
+    canonical VGG16-BN cfg-D layout — the module indices the reference's
+    slice ranges hard-code). Its randomly initialized ``state_dict`` then
+    flows through our torch converter, and the Flax forward must match
+    the reference torch forward. This is the same chain the published
+    ``craft_mlt_25k.pth`` takes through ``load_torch_checkpoint``.
+    """
+    import torch
+
+    if importlib.util.find_spec("torchvision") is None:
+
+        def _vgg16_bn_features():
+            cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                   512, 512, 512, "M", 512, 512, 512, "M"]
+            layers = []
+            in_ch = 3
+            for v in cfg:
+                if v == "M":
+                    layers.append(torch.nn.MaxPool2d(kernel_size=2, stride=2))
+                else:
+                    layers.append(torch.nn.Conv2d(in_ch, v, kernel_size=3, padding=1))
+                    layers.append(torch.nn.BatchNorm2d(v))
+                    layers.append(torch.nn.ReLU(inplace=True))
+                    in_ch = v
+            return torch.nn.Sequential(*layers)
+
+        class _VGG:
+            def __init__(self):
+                self.features = _vgg16_bn_features()
+
+        models = types.ModuleType("torchvision.models")
+        models.vgg16_bn = lambda pretrained=False: _VGG()
+        torchvision = types.ModuleType("torchvision")
+        torchvision.models = models
+        sys.modules["torchvision"] = torchvision
+        sys.modules["torchvision.models"] = models
+
+    import jax.numpy as jnp
+
+    from keras_ocr_tpu.models.craft import CRAFT
+    from keras_ocr_tpu.weights import (
+        craft_name_map,
+        craft_variables_from_torch_state_dict,
+    )
+
+    ref_torch = ref.detection.build_torch_model(weights_path=None)
+    state_dict = {k: v for k, v in ref_torch.state_dict().items()}
+
+    # Naming audit: the key set our converter consumes (craft_name_map)
+    # must exactly cover the reference/NAVER module tree's state_dict —
+    # this is what makes twin-saved .pth fixtures valid evidence.
+    expected = set()
+    for ref_name, (_, kind) in craft_name_map().items():
+        expected.add(f"{ref_name}.weight")
+        expected.add(f"{ref_name}.bias")
+        if kind == "bn":
+            expected.add(f"{ref_name}.running_mean")
+            expected.add(f"{ref_name}.running_var")
+    ref_keys = {k for k in state_dict if not k.endswith("num_batches_tracked")}
+    assert expected == ref_keys, (
+        sorted(expected - ref_keys)[:5],
+        sorted(ref_keys - expected)[:5],
+    )
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-1.5, 1.5, size=(1, 128, 160, 3)).astype("float32")
+    with torch.no_grad():
+        ref_out = (
+            ref_torch(torch.from_numpy(X.transpose(0, 3, 1, 2)))[0]
+            .numpy()
+        )
+    variables = craft_variables_from_torch_state_dict(state_dict)
+    mine = np.asarray(CRAFT().apply(variables, jnp.asarray(X), train=False))
+    assert mine.shape == ref_out.shape
+    assert float(np.abs(mine - ref_out).max()) < 1e-4
+
+
 def test_ctc_decoder_layer_contract(ref):
     """keras.backend.ctc_decode + -1 pad (recognition.py:169-184) vs ours."""
     import jax.numpy as jnp
