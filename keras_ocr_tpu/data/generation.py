@@ -440,14 +440,20 @@ class _FlowLayout:
     def _cell_fits(self, glyph):
         right = self.x + glyph.size[0] + glyph.offset[0]
         bottom = self.y + glyph.size[1] + glyph.offset[1]
-        corners = np.array(
-            [
-                [self.x, self.y],
-                [right, self.y],
-                [right, bottom],
-                [self.x, bottom],
-            ],
-            dtype="float64",
+        # Corners truncate to integers before the polygon test — the
+        # reference casts each pt to int (data_generation.py:440-443), and
+        # matching that rasterized test is what keeps glyph placement
+        # identical under rotated contours.
+        corners = np.trunc(
+            np.array(
+                [
+                    [self.x, self.y],
+                    [right, self.y],
+                    [right, bottom],
+                    [self.x, bottom],
+                ],
+                dtype="float64",
+            )
         )
         return bool(self._tester.contains(corners).all()), right
 
@@ -622,8 +628,13 @@ def compute_transformed_contour(width, height, fontsize, M, contour, minarea=0.5
     cells = origins[:, None, :].astype("float64") + corner_offsets[None, :, :]
     warped = _transform_points(cells.reshape(-1, 2), M).reshape(-1, 4, 2)
 
+    # Points truncate to ints before the inclusion test (the reference
+    # passes (int(x), int(y)) to pointPolygonTest, data_generation.py:536).
     fully_inside = (
-        _PolygonTester(contour).contains(warped.reshape(-1, 2)).reshape(-1, 4).all(axis=1)
+        _PolygonTester(contour)
+        .contains(np.trunc(warped.reshape(-1, 2)))
+        .reshape(-1, 4)
+        .all(axis=1)
     )
     not_shrunk = _shoelace_area(warped) > minarea * spacing * spacing
     survivors = origins[fully_inside & not_shrunk]

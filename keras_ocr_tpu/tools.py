@@ -161,35 +161,40 @@ def warp_perspective(image, M, dsize, cval=0.0):
     return out.astype(input_dtype)
 
 
+def _linear_taps(dst: int, src: int):
+    """Two-tap sample indices/weights per output coordinate.
+
+    cv2.resize INTER_LINEAR convention: output pixel i samples the source
+    at (i + 0.5) * src/dst - 0.5 with 2-tap interpolation and replicated
+    borders — no antialiasing prefilter, matching the reference's
+    cv2.resize calls (reference tools.py:394,443,446) even on downscale.
+    """
+    x = (np.arange(dst, dtype="float64") + 0.5) * (src / dst) - 0.5
+    x0 = np.floor(x).astype("int64")
+    frac = x - x0
+    lo = np.clip(x0, 0, src - 1)
+    hi = np.clip(x0 + 1, 0, src - 1)
+    return lo, hi, frac
+
+
 def _resize(image, width: int, height: int):
-    """Bilinear resize via PIL (cv2.resize INTER_LINEAR stand-in)."""
+    """Separable bilinear resize with cv2.resize INTER_LINEAR semantics."""
     image = np.asarray(image)
     width, height = int(width), int(height)
     if image.shape[0] == height and image.shape[1] == width:
         return image
     input_dtype = image.dtype
-    arr = image
-    if np.issubdtype(input_dtype, np.floating):
-        arr = arr.astype("float32")
-        if arr.ndim == 2:
-            out = np.array(
-                PIL.Image.fromarray(arr, mode="F").resize((width, height), PIL.Image.BILINEAR)
-            )
-        else:
-            out = np.stack(
-                [
-                    np.array(
-                        PIL.Image.fromarray(arr[..., c], mode="F").resize(
-                            (width, height), PIL.Image.BILINEAR
-                        )
-                    )
-                    for c in range(arr.shape[-1])
-                ],
-                axis=-1,
-            )
-        return out.astype(input_dtype)
-    out = np.array(PIL.Image.fromarray(arr).resize((width, height), PIL.Image.BILINEAR))
-    return out.astype(input_dtype)
+    arr = image.astype("float64")
+    lo, hi, frac = _linear_taps(height, arr.shape[0])
+    f = frac.reshape((-1,) + (1,) * (arr.ndim - 1))
+    arr = arr[lo] * (1.0 - f) + arr[hi] * f
+    lo, hi, frac = _linear_taps(width, arr.shape[1])
+    f = frac.reshape((1, -1) + (1,) * (arr.ndim - 2))
+    arr = arr[:, lo] * (1.0 - f) + arr[:, hi] * f
+    if np.issubdtype(input_dtype, np.integer):
+        info = np.iinfo(input_dtype)
+        arr = np.clip(np.rint(arr), info.min, info.max)
+    return arr.astype(input_dtype)
 
 
 # ---------------------------------------------------------------------------
