@@ -87,6 +87,46 @@ def _dilate_cv2_style(mask: np.ndarray, niter: int) -> np.ndarray:
     return out
 
 
+def _first_contour_pixels(mask: np.ndarray) -> np.ndarray:
+    """Pixels backing ``cv2.findContours(mask, RETR_TREE, ...)[0]``.
+
+    The reference fits its rectangle to only the FIRST returned contour
+    (detection.py:267-273). Empirically (cv2 5.0, the RETR_TREE call the
+    reference makes): parents precede their children in the returned list
+    — a hole border or a blob nested inside another blob's hole never
+    takes index 0 — and among TOP-LEVEL outer borders the ordering is
+    reverse raster discovery, i.e. ``contours[0]`` is the top-level blob
+    whose topmost-leftmost pixel comes LAST in raster order. For
+    min-rect / bbox purposes a border is equivalent to its blob's pixel
+    set (same convex hull and extrema), so this returns the selected
+    blob's pixels; single-blob masks (the overwhelmingly common case)
+    are returned unchanged.
+    """
+    labels, n_blobs = _ndimage.label(mask, structure=np.ones((3, 3), bool))
+    if n_blobs <= 1:
+        return mask
+    width = mask.shape[1]
+    blobs = [labels == blob_id for blob_id in range(1, n_blobs + 1)]
+    filled = [_ndimage.binary_fill_holes(blob) for blob in blobs]
+
+    best_index, best_pixels = -1, mask
+    for blob_id, blob in enumerate(blobs):
+        ys, xs = np.nonzero(blob)
+        top = ys.min()
+        seed_x = xs[ys == top].min()
+        # Nested inside another blob's filled region -> not top-level.
+        if any(
+            other[top, seed_x]
+            for other_id, other in enumerate(filled)
+            if other_id != blob_id
+        ):
+            continue
+        index = top * width + seed_x
+        if index > best_index:
+            best_index, best_pixels = index, blob
+    return best_pixels
+
+
 def getBoxes(
     y_pred,
     detection_threshold=0.7,
@@ -141,7 +181,7 @@ def getBoxes(
             ex, ey = min(x + w + niter + 1, img_w), min(y + h + niter + 1, img_h)
             roi[sy:ey, sx:ex] = True
             dilated &= roi
-            pys, pxs = np.nonzero(dilated)
+            pys, pxs = np.nonzero(_first_contour_pixels(dilated))
             if len(pxs) == 0:
                 continue
             points = np.stack([pxs, pys], axis=1).astype("float32")

@@ -473,6 +473,180 @@ def test_torch_state_dict_parity_vs_reference_torch_craft(ref):
     assert float(np.abs(mine - ref_out).max()) < 1e-4
 
 
+def test_first_contour_selection_matches_cv2(ref):
+    """``_first_contour_pixels`` vs the cv2 call the reference makes.
+
+    The reference fits its rectangle to ``cv2.findContours(...)[0]`` only
+    (detection.py:267-273); the host oracle replicates the selection
+    (hierarchy-aware reverse-raster ordering). Fuzz over rectangle /
+    ellipse / ring unions plus slivers, asserting identical extrema.
+    """
+    import cv2
+
+    from keras_ocr_tpu.detection import _first_contour_pixels
+
+    rng = np.random.RandomState(7)
+    multi_blob = 0
+    for _ in range(250):
+        h, w = rng.randint(16, 64), rng.randint(16, 64)
+        mask = np.zeros((h, w), dtype=bool)
+        yy, xx = np.mgrid[:h, :w]
+        for _ in range(rng.randint(1, 5)):
+            kind = rng.randint(3)
+            if kind == 0:
+                y, x = rng.randint(0, h - 3), rng.randint(0, w - 3)
+                mask[y : y + rng.randint(2, 12), x : x + rng.randint(2, 12)] = True
+            elif kind == 1:
+                cy, cx = rng.randint(3, h - 3), rng.randint(3, w - 3)
+                ry, rx = rng.randint(2, 10), rng.randint(2, 10)
+                mask[((yy - cy) ** 2 / ry**2 + (xx - cx) ** 2 / rx**2) <= 1] = True
+            else:
+                cy, cx = rng.randint(6, max(h - 6, 7)), rng.randint(6, max(w - 6, 7))
+                r = rng.randint(4, 9)
+                d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+                mask[(d2 <= r * r) & (d2 >= (r - 2) ** 2)] = True
+        for _ in range(rng.randint(0, 4)):
+            y, x = rng.randint(0, h - 2), rng.randint(0, w - 2)
+            mask[y : y + rng.randint(1, 3), x : x + rng.randint(1, 3)] = True
+        if not mask.any():
+            continue
+        contour = cv2.findContours(
+            mask.astype("uint8") * 255,
+            mode=cv2.RETR_TREE,
+            method=cv2.CHAIN_APPROX_SIMPLE,
+        )[-2][0]
+        pys, pxs = np.nonzero(_first_contour_pixels(mask))
+        assert (int(pxs.min()), int(pxs.max()), int(pys.min()), int(pys.max())) == (
+            int(contour[:, 0, 0].min()),
+            int(contour[:, 0, 0].max()),
+            int(contour[:, 0, 1].min()),
+            int(contour[:, 0, 1].max()),
+        )
+        if cv2.connectedComponents(mask.astype("uint8"))[0] > 2:
+            multi_blob += 1
+    assert multi_blob >= 50  # the population must exercise the selection
+
+
+def test_detector_detect_composed_parity(ref, tmp_path):
+    """``Detector.detect`` end to end vs the reference Detector.
+
+    One random-weight reference CRAFT, saved as real-Keras .h5, drives
+    both sides on the real test image. Thresholds are picked from the
+    heatmap's own quantiles so the random-weight maps yield real
+    components; the reference's detect (compute_input -> predict ->
+    OpenCV getBoxes, detection.py:745-785) and ours must then produce
+    identical box counts, the host-postprocess path identical rectangles,
+    and the device path rectangles within the angle bank's quantization.
+    """
+    import tensorflow as tf
+
+    from keras_ocr_tpu import detection, tools
+    from keras_ocr_tpu.detection import Detector
+    from keras_ocr_tpu.evaluation import iou_score
+    from keras_ocr_tpu.weights import craft_variables_from_h5
+
+    tf.keras.utils.set_random_seed(11)
+    ref_detector = ref.detection.Detector(weights=None)
+    path = str(tmp_path / "craft_random.h5")
+    ref_detector.model.save_weights(path)
+    mine = Detector(weights=None)
+    mine.variables = craft_variables_from_h5(path)
+
+    image_path = os.path.join(REFERENCE_DIR, "tests", "test_image.jpg")
+    if os.path.isfile(image_path):
+        image = tools.read(image_path)[:352, :384]
+    else:
+        image = np.random.RandomState(0).randint(
+            0, 255, size=(352, 384, 3), dtype="uint8"
+        )
+    heat = mine.heatmaps(detection.compute_input(image)[None])[0]
+    text_q = float(np.quantile(heat[..., 0], 0.95))
+    link_q = float(np.quantile(heat[..., 1], 0.95))
+    kwargs = dict(
+        detection_threshold=text_q,
+        text_threshold=text_q,
+        link_threshold=link_q,
+        size_threshold=10,
+    )
+    ref_boxes = ref_detector.detect(images=[image], **kwargs)[0]
+    host_boxes = mine.detect(images=[image], use_device_postprocess=False, **kwargs)[0]
+    device_boxes = mine.detect(images=[image], use_device_postprocess=True, **kwargs)[0]
+    assert len(ref_boxes) >= 3  # thresholds must actually produce work
+    assert len(host_boxes) == len(ref_boxes)
+    assert len(device_boxes) == len(ref_boxes)
+
+    def best_ious(boxes):
+        """Max IoU over all reference boxes, per box (pairing-free)."""
+        return [
+            max(iou_score(box, ref_box) for ref_box in ref_boxes) for box in boxes
+        ]
+
+    # Random-weight heatmaps produce near-square noise blobs where the
+    # min-area rect is a tie: cv2.minAreaRect and our rotating calipers
+    # can return different equal-area rectangles, flipping the reference's
+    # aspect-ratio "diamond" fallback on one side (observed once per ~35
+    # boxes). Exact rectangle parity on realistic blobs is pinned by
+    # test_getboxes_parity_vs_reference_opencv; here the bar is the
+    # composed chain: identical counts, overwhelming agreement, every box
+    # above the evaluation protocol's 0.5 matching threshold.
+    host_ious = best_ious(host_boxes)
+    assert min(host_ious) > 0.5, host_ious
+    assert float(np.mean(np.array(host_ious) > 0.99)) >= 0.9, host_ious
+    # The device kernel additionally fits ALL dilated pixels where the
+    # reference keeps contours[0] only — on these noise blobs that can
+    # displace the occasional box entirely (PERF.md quantifies the
+    # realistic-heatmap incidence at ~0, protocol P/R delta 0.00), so the
+    # device bar is distributional rather than per-box.
+    device_ious = np.array(best_ious(device_boxes))
+    assert float(np.mean(device_ious > 0.8)) >= 0.9, device_ious
+    assert float(np.mean(device_ious)) > 0.9, device_ious
+
+
+def test_recognize_from_boxes_composed_parity(ref_recognizer):
+    """``recognize_from_boxes`` + single-crop ``recognize`` vs the reference.
+
+    Same weights, same real image, same (rotated) boxes: the whole host
+    chain — grayscale convert, warpBox crops (incl. the min-rotated-rect
+    path), /255 batch, CRNN forward, CTC decode, per-image splits
+    (recognition.py:467-537) — must emit the exact same strings.
+    """
+    import string as string_mod
+
+    from keras_ocr_tpu import tools
+    from keras_ocr_tpu.recognition import Recognizer
+    from keras_ocr_tpu.weights import crnn_variables_from_h5
+
+    ref_rec, top, _ = ref_recognizer
+    mine = Recognizer(
+        weights=None, alphabet=string_mod.digits + string_mod.ascii_lowercase
+    )
+    mine.variables = crnn_variables_from_h5(top, include_top=True)
+
+    image_path = os.path.join(REFERENCE_DIR, "tests", "test_image.jpg")
+    if os.path.isfile(image_path):
+        image = tools.read(image_path)
+    else:
+        image = np.random.RandomState(2).randint(
+            0, 255, size=(480, 640, 3), dtype="uint8"
+        )
+
+    def rotated_rect(cx, cy, w, h, theta):
+        c, s = np.cos(theta), np.sin(theta)
+        base = np.array([[-w, -h], [w, -h], [w, h], [-w, h]], dtype="float64") / 2
+        return (base @ np.array([[c, -s], [s, c]]).T + [cx, cy]).astype("float32")
+
+    groups = [
+        [rotated_rect(200, 150, 160, 40, 0.0), rotated_rect(350, 300, 120, 36, 0.25)],
+        [rotated_rect(300, 240, 200, 50, -0.15)],
+    ]
+    theirs = ref_rec.recognize_from_boxes([image, image.copy()], groups)
+    ours = mine.recognize_from_boxes([image, image.copy()], groups)
+    assert ours == theirs
+
+    crop = image[140:175, 120:330]
+    assert mine.recognize(image=crop) == ref_rec.recognize(image=crop)
+
+
 DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
 
 
