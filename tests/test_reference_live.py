@@ -391,6 +391,153 @@ def test_recognizer_batch_generator_parity(ref_recognizer):
     np.testing.assert_array_equal(z_o, z_t)
 
 
+def _ensure_torchvision_stub():
+    """Provide ``torchvision.models.vgg16_bn().features`` if absent.
+
+    A deterministic Sequential with real torch layers in the canonical
+    VGG16-BN cfg-D layout — the exact module indices the reference's
+    slice ranges hard-code (detection.py:491-548).
+    """
+    import torch
+
+    if "torchvision" in sys.modules:  # already stubbed (or real and loaded)
+        return
+    if importlib.util.find_spec("torchvision") is not None:
+        return
+
+    def _vgg16_bn_features():
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers = []
+        in_ch = 3
+        for v in cfg:
+            if v == "M":
+                layers.append(torch.nn.MaxPool2d(kernel_size=2, stride=2))
+            else:
+                layers.append(torch.nn.Conv2d(in_ch, v, kernel_size=3, padding=1))
+                layers.append(torch.nn.BatchNorm2d(v))
+                layers.append(torch.nn.ReLU(inplace=True))
+                in_ch = v
+        return torch.nn.Sequential(*layers)
+
+    class _VGG:
+        def __init__(self):
+            self.features = _vgg16_bn_features()
+
+    models = types.ModuleType("torchvision.models")
+    models.vgg16_bn = lambda pretrained=False: _VGG()
+    torchvision = types.ModuleType("torchvision")
+    torchvision.models = models
+    sys.modules["torchvision"] = torchvision
+    sys.modules["torchvision.models"] = models
+
+
+def test_export_craft_h5_roundtrip(ref, tmp_path):
+    """Our CRAFT -> ``craft_variables_to_h5`` -> reference ``load_weights``.
+
+    The inverse migration path: a (randomly initialized) Flax CRAFT is
+    exported to a Keras .h5 which the reference's own
+    ``build_keras_model(weights_path=...)`` loads topologically
+    (detection.py:414-417); forwards must then agree to the reference's
+    parity bar.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from keras_ocr_tpu.models import init_variables
+    from keras_ocr_tpu.models.craft import CRAFT
+    from keras_ocr_tpu.weights.export import craft_variables_to_h5
+
+    model = CRAFT()
+    variables = init_variables(model, (1, 64, 64, 3), seed=7)
+    path = str(tmp_path / "exported_craft.h5")
+    craft_variables_to_h5(jax.tree.map(np.asarray, variables), path)
+
+    ref_model = ref.detection.build_keras_model(weights_path=path)
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-1.5, 1.5, size=(1, 96, 128, 3)).astype("float32")
+    theirs = ref_model.predict(X, verbose=0)
+    mine = np.asarray(model.apply(variables, jnp.asarray(X), train=False))
+    assert mine.shape == theirs.shape
+    assert float(np.abs(mine - theirs).max()) < 1e-4
+
+
+def test_export_crnn_h5_roundtrip(ref, tmp_path):
+    """Our CRNN -> ``crnn_variables_to_h5`` -> reference Recognizer.
+
+    Both directions of the weight contract: the exported top file loads
+    into ``recognizer.model`` (softmax parity), the notop file into
+    ``recognizer.backbone`` (feature parity) — the same calls the
+    reference makes for its published files (recognition.py:388-404).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from keras_ocr_tpu.recognition import Recognizer
+    from keras_ocr_tpu.weights.export import crnn_variables_to_h5
+
+    alphabet = string.digits + string.ascii_lowercase
+    mine = Recognizer(weights=None, alphabet=alphabet)
+    variables = jax.tree.map(np.asarray, mine.variables)
+    top = str(tmp_path / "exported_crnn_top.h5")
+    notop = str(tmp_path / "exported_crnn_notop.h5")
+    crnn_variables_to_h5(variables, top, include_top=True)
+    crnn_variables_to_h5(variables, notop, include_top=False)
+
+    theirs = ref.recognition.Recognizer(weights=None, alphabet=alphabet)
+    theirs.model.load_weights(top)
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, size=(2, 31, 200, 1)).astype("float32")
+    ref_soft = theirs.model.predict(X, verbose=0)
+    my_soft = np.asarray(mine.model.apply(mine.variables, jnp.asarray(X), train=False))
+    assert float(np.abs(my_soft - ref_soft).max()) < 1e-4
+
+    theirs.backbone.load_weights(notop)
+    ref_features = theirs.backbone.predict(X, verbose=0)
+    my_features = np.asarray(
+        mine.model.apply(mine.variables, jnp.asarray(X), train=False, return_backbone=True)
+    )
+    assert float(np.abs(my_features - ref_features).max()) < 1e-4
+
+
+def test_export_craft_pth_roundtrip(ref, tmp_path):
+    """Our CRAFT -> ``save_craft_torch_checkpoint`` -> reference torch CRAFT.
+
+    The exported ``.pth`` must load into the reference's own torch model
+    (true NAVER module tree, detection.py:472-644) and reproduce our
+    forward — plus round-trip through our ``load_torch_checkpoint``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _ensure_torchvision_stub()
+    import torch
+
+    from keras_ocr_tpu.models import init_variables
+    from keras_ocr_tpu.models.craft import CRAFT
+    from keras_ocr_tpu.weights import load_torch_checkpoint
+    from keras_ocr_tpu.weights.export import save_craft_torch_checkpoint
+
+    model = CRAFT()
+    variables = init_variables(model, (1, 64, 64, 3), seed=13)
+    path = str(tmp_path / "exported_craft.pth")
+    save_craft_torch_checkpoint(jax.tree.map(np.asarray, variables), path)
+
+    ref_torch = ref.detection.build_torch_model(weights_path=path)
+    ref_torch.eval()
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-1.5, 1.5, size=(1, 96, 128, 3)).astype("float32")
+    with torch.no_grad():
+        theirs = ref_torch(torch.from_numpy(X.transpose(0, 3, 1, 2)))[0].numpy()
+    mine = np.asarray(model.apply(variables, jnp.asarray(X), train=False))
+    assert mine.shape == theirs.shape
+    assert float(np.abs(mine - theirs).max()) < 1e-4
+
+    reloaded = load_torch_checkpoint(path)
+    again = np.asarray(model.apply(reloaded, jnp.asarray(X), train=False))
+    np.testing.assert_allclose(again, mine, atol=1e-6)
+
+
 def test_torch_state_dict_parity_vs_reference_torch_craft(ref):
     """The .pth path against the TRUE NAVER state_dict naming.
 
@@ -405,33 +552,7 @@ def test_torch_state_dict_parity_vs_reference_torch_craft(ref):
     """
     import torch
 
-    if importlib.util.find_spec("torchvision") is None:
-
-        def _vgg16_bn_features():
-            cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
-                   512, 512, 512, "M", 512, 512, 512, "M"]
-            layers = []
-            in_ch = 3
-            for v in cfg:
-                if v == "M":
-                    layers.append(torch.nn.MaxPool2d(kernel_size=2, stride=2))
-                else:
-                    layers.append(torch.nn.Conv2d(in_ch, v, kernel_size=3, padding=1))
-                    layers.append(torch.nn.BatchNorm2d(v))
-                    layers.append(torch.nn.ReLU(inplace=True))
-                    in_ch = v
-            return torch.nn.Sequential(*layers)
-
-        class _VGG:
-            def __init__(self):
-                self.features = _vgg16_bn_features()
-
-        models = types.ModuleType("torchvision.models")
-        models.vgg16_bn = lambda pretrained=False: _VGG()
-        torchvision = types.ModuleType("torchvision")
-        torchvision.models = models
-        sys.modules["torchvision"] = torchvision
-        sys.modules["torchvision.models"] = models
+    _ensure_torchvision_stub()
 
     import jax.numpy as jnp
 
