@@ -311,3 +311,14 @@ def crnn_variables_from_h5(path: str, include_top: bool = True) -> dict:
                 }
             params["stn"] = stn_params
     return {"params": params, "batch_stats": batch_stats}
+
+
+# Inverse converters (Flax variables -> reference .h5/.pth); defined in a
+# submodule that consumes the layer tables above, re-exported here so the
+# full weight-migration surface lives under ``keras_ocr_tpu.weights``.
+from .export import (  # noqa: E402
+    craft_variables_to_h5,
+    craft_variables_to_torch_state_dict,
+    crnn_variables_to_h5,
+    save_craft_torch_checkpoint,
+)

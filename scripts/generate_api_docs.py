@@ -76,8 +76,11 @@ SECTIONS = [
     (
         "Weights",
         "Pretrained-weight download/verification and the Keras ``.h5`` / "
-        "PyTorch ``.pth`` converters.",
-        [("keras_ocr_tpu.weights", None)],
+        "PyTorch ``.pth`` converters, both directions.",
+        [
+            ("keras_ocr_tpu.weights", None),
+            ("keras_ocr_tpu.weights.export", None),
+        ],
     ),
     (
         "Configuration",
