@@ -262,36 +262,35 @@ def main():
     provenance = predownload_weights()
 
     env = dict(os.environ, _BENCH_WEIGHTS=provenance)
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--phase", "measure"],
-            timeout=int(os.environ.get("KERAS_OCR_TPU_BENCH_TIMEOUT_S", "1500")),
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=REPO_ROOT,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            json.dumps(
-                {
-                    "metric": "e2e_p50_latency_scale2_640x480",
-                    "value": None,
-                    "unit": "ms/image",
-                    "vs_baseline": None,
-                    "weights": provenance,
-                    "error": "measure phase timeout",
-                    "coco": {"status": "skipped(measure phase timeout)"},
-                }
-            )
-        )
-        return 1
-    sys.stderr.write(proc.stderr or "")
+    # Two attempts: the tunneled axon runtime is observably flaky — it can
+    # hang at backend init for minutes and then recover — so one retry
+    # protects the round's headline number from a transient outage without
+    # changing what is measured.
     line = None
-    for candidate in (proc.stdout or "").strip().splitlines():
-        candidate = candidate.strip()
-        if candidate.startswith("{"):
-            line = candidate
+    error = None
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", "measure"],
+                timeout=int(os.environ.get("KERAS_OCR_TPU_BENCH_TIMEOUT_S", "1500")),
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=REPO_ROOT,
+            )
+        except subprocess.TimeoutExpired:
+            error = "measure phase timeout"
+            print(f"measure attempt {attempt + 1}: timeout", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr or "")
+        for candidate in (proc.stdout or "").strip().splitlines():
+            candidate = candidate.strip()
+            if candidate.startswith("{"):
+                line = candidate
+        if line is not None:
+            break
+        error = f"measure phase rc={proc.returncode}"
+        print(f"measure attempt {attempt + 1}: {error}", file=sys.stderr)
     if line is None:
         print(
             json.dumps(
@@ -301,8 +300,8 @@ def main():
                     "unit": "ms/image",
                     "vs_baseline": None,
                     "weights": provenance,
-                    "error": f"measure phase rc={proc.returncode}",
-                    "coco": {"status": f"skipped(measure rc={proc.returncode})"},
+                    "error": error,
+                    "coco": {"status": f"skipped({error})"},
                 }
             )
         )
