@@ -152,7 +152,7 @@ def measure():
         "pretrained" if os.environ.get("_BENCH_WEIGHTS") == "pretrained" else "random"
     )
     # Building models points JAX's persistent compile cache at
-    # ~/.cache/keras_ocr_tpu/xla_cache, so repeated runs skip the cold
+    # ~/.cache/keras_ocr_tpu/xla_cache_<host-id>, so repeated runs skip the cold
     # XLA compile of the fused pipeline.
     try:
         pipeline = build_pipeline(provenance)

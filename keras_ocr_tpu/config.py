@@ -69,25 +69,52 @@ def set_config(config: RuntimeConfig) -> None:
     _CONFIG = config
 
 
+def _host_fingerprint() -> str:
+    """Short id of this host's instruction-set capabilities.
+
+    XLA:CPU persists AOT executables whose machine features must match the
+    executing host (mismatches warn and can SIGILL), and this repo's cache
+    directory travels between machines (builder box vs bench box). Keying
+    the default cache path by CPU feature set keeps each host's artifacts
+    separate; TPU executables are keyed by the runtime already, so sharing
+    within one host is still fully effective.
+    """
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo", encoding="utf8") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(directory: typing.Optional[str] = None) -> str:
     """Point JAX's persistent compilation cache at a stable directory.
 
     Compiling the fused pipeline costs ~40 s (and minutes on a busy
     tunneled runtime); the persistent cache makes every later process
-    reuse the compiled executable. Called at package import; a directory
-    already configured by the user (or ``JAX_COMPILATION_CACHE_DIR``) is
-    left untouched.
+    reuse the compiled executable. Called at Detector/Recognizer
+    construction; a directory already configured by the user (or
+    ``JAX_COMPILATION_CACHE_DIR``) is left untouched.
     """
     current = jax.config.jax_compilation_cache_dir
     if current:
         return current
     if directory is None:
-        directory = os.environ.get(
-            "KERAS_OCR_TPU_COMPILE_CACHE",
-            os.path.join(
-                os.path.expanduser("~"), ".cache", "keras_ocr_tpu", "xla_cache"
-            ),
-        )
+        directory = os.environ.get("KERAS_OCR_TPU_COMPILE_CACHE")
+        if directory is None:
+            directory = os.path.join(
+                os.path.expanduser("~"),
+                ".cache",
+                "keras_ocr_tpu",
+                f"xla_cache_{_host_fingerprint()}",
+            )
     if not directory:
         # KERAS_OCR_TPU_COMPILE_CACHE="" is an explicit opt-out (used e.g.
         # by the multichip dry run, which must not load executables that
