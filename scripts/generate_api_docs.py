@@ -62,7 +62,7 @@ SECTIONS = [
         "Mesh-data-parallel trainers, checkpointing, and Keras-style "
         "callbacks.",
         [
-            ("keras_ocr_tpu.train.detector", ["DetectorTrainer"]),
+            ("keras_ocr_tpu.train.detector", ["DetectorTrainer", "ohem_mse_loss"]),
             ("keras_ocr_tpu.train.recognizer", ["RecognizerTrainer"]),
             ("keras_ocr_tpu.train.checkpoint", None),
             ("keras_ocr_tpu.train.callbacks", None),

@@ -15,6 +15,7 @@ import pytest
 pytestmark = pytest.mark.slow  # compile-heavy; `make test-all` / nightly CI
 
 import jax
+import jax.numpy as jnp
 
 from keras_ocr_tpu.detection import Detector
 from keras_ocr_tpu.recognition import Recognizer
@@ -121,6 +122,66 @@ def test_detector_trainer_step_and_loss_decreases():
     )
     assert len(history) == 1
     assert detector.variables is trainer.variables
+
+
+def _ohem_oracle(preds, targets, weights, pos_threshold=0.1, neg_ratio=3,
+                 min_negatives=512):
+    """Independent NumPy statement of the OHEM definition."""
+    batch, _, _, channels = preds.shape
+    per_sample = np.zeros(batch)
+    for b in range(batch):
+        channel_losses = []
+        for c in range(channels):
+            err = (preds[b, ..., c] - targets[b, ..., c]).ravel() ** 2
+            pos = targets[b, ..., c].ravel() > pos_threshold
+            n_pos = int(pos.sum())
+            neg_err = np.sort(err[~pos])[::-1]
+            k = (
+                min(neg_ratio * n_pos, neg_err.size)
+                if n_pos
+                else min(min_negatives, neg_err.size)
+            )
+            total = err[pos].sum() + neg_err[:k].sum()
+            channel_losses.append(total / max(n_pos + k, 1))
+        per_sample[b] = np.mean(channel_losses)
+    return float(np.mean(per_sample * weights))
+
+
+def test_ohem_loss_matches_numpy_oracle():
+    from keras_ocr_tpu.train.detector import ohem_mse_loss
+
+    rng = np.random.RandomState(3)
+    preds = rng.rand(3, 16, 24, 2).astype("float32")
+    # Mixed population: sample 0 has positives in both channels, sample 1
+    # only in channel 0, sample 2 none (exercises the min_negatives path).
+    targets = np.zeros_like(preds)
+    targets[0, 2:6, 3:9, :] = rng.uniform(0.3, 1.0, (4, 6, 2))
+    targets[1, 8:12, 1:5, 0] = rng.uniform(0.3, 1.0, (4, 4))
+    weights = np.array([1.0, 0.5, 2.0], dtype="float32")
+    ours = float(ohem_mse_loss(jnp.asarray(preds), jnp.asarray(targets),
+                               jnp.asarray(weights), min_negatives=50))
+    oracle = _ohem_oracle(preds, targets, weights, min_negatives=50)
+    np.testing.assert_allclose(ours, oracle, rtol=1e-5)
+
+
+def test_detector_trainer_ohem_loss_trains():
+    detector = Detector(weights=None, max_components=16)
+    trainer = DetectorTrainer(detector, loss="ohem")
+    rng = np.random.RandomState(0)
+    images = rng.rand(8, 64, 64, 3).astype("float32")
+    targets = np.zeros((8, 32, 32, 2), dtype="float32")
+    targets[:, 10:20, 8:24, 0] = 0.9
+    targets[:, 12:18, 10:22, 1] = 0.7
+    first = trainer.train_step((images, targets))
+    losses = [trainer.train_step((images, targets)) for _ in range(4)]
+    assert np.isfinite(first)
+    assert losses[-1] < first
+
+
+def test_detector_trainer_rejects_unknown_loss():
+    detector = Detector(weights=None, max_components=16)
+    with pytest.raises(ValueError, match="unknown loss"):
+        DetectorTrainer(detector, loss="dice")
 
 
 def test_checkpoint_roundtrip(recognizer, tmp_path):
