@@ -34,6 +34,13 @@ import jax.numpy as jnp
 
 from scipy import ndimage
 
+import os
+import sys
+
+# Make the in-repo package importable when run as `python scripts/<name>.py`
+# without a pip install (sys.path[0] is scripts/, not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from keras_ocr_tpu import detection, evaluation
 from keras_ocr_tpu.data import generation
 from keras_ocr_tpu.data.detection_targets import compute_maps

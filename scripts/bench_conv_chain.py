@@ -14,6 +14,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+# Make the in-repo package importable when run as `python scripts/<name>.py`
+# without a pip install (sys.path[0] is scripts/, not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from keras_ocr_tpu.ops.conv_pallas import conv_chain
 
 REPS = 16

@@ -13,6 +13,13 @@ import json
 import sys
 import time
 
+import os as _os
+import sys as _sys
+
+# Make the in-repo package importable when run as `python scripts/<name>.py`
+# without a pip install (sys.path[0] is scripts/, not the repo root).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 

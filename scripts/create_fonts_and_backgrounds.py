@@ -19,6 +19,13 @@ import zipfile
 
 import numpy as np
 
+import os
+import sys
+
+# Make the in-repo package importable when run as `python scripts/<name>.py`
+# without a pip install (sys.path[0] is scripts/, not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import keras_ocr_tpu
 from keras_ocr_tpu import tools
 from keras_ocr_tpu.data import generation

@@ -22,6 +22,13 @@ import string
 
 import numpy as np
 
+import os
+import sys
+
+# Make the in-repo package importable when run as `python scripts/<name>.py`
+# without a pip install (sys.path[0] is scripts/, not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from keras_ocr_tpu import data_generation, evaluation, tools
 from keras_ocr_tpu.detection import Detector
 from keras_ocr_tpu.pipeline import Pipeline

@@ -12,10 +12,19 @@ Targets: P/R >= 0.53/0.54 at scale=2 (reference on Tesla P4: 417 ms).
 
 import argparse
 import json
+import os
 import string
+import sys
 import time
 
 import numpy as np
+
+import os
+import sys
+
+# Make the in-repo package importable when run as `python scripts/<name>.py`
+# without a pip install (sys.path[0] is scripts/, not the repo root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import keras_ocr_tpu
 from keras_ocr_tpu import datasets, evaluation, tools
@@ -104,6 +113,12 @@ def main():
         "--synthetic", action="store_true",
         help="use offline PIL-rendered scenes instead of COCO-Text",
     )
+    parser.add_argument(
+        "--progress-every", type=int, default=100,
+        help="write partial scored results to --output every N images "
+        "(0 disables); a bounded-timeout kill then still leaves a valid "
+        "prefix P/R on disk",
+    )
     args = parser.parse_args()
 
     if args.synthetic:
@@ -135,8 +150,6 @@ def main():
         # Weight download/verify failed — fall back to random weights so
         # the PROTOCOL can still be smoke-tested offline, but say so loudly
         # and stamp the output: a random-weight P/R is NOT a benchmark.
-        import sys
-
         print(
             f"WARNING: pretrained weights unavailable ({type(exc).__name__}: "
             f"{exc}); falling back to RANDOM weights — the reported P/R is "
@@ -155,45 +168,79 @@ def main():
             **pipeline_kwargs,
         )
 
+    translator = str.maketrans(
+        string.ascii_uppercase, string.ascii_lowercase, string.punctuation
+    )
+
+    def score_and_write(pred, latencies, counters, done, partial):
+        """Score the processed subset and (re)write the results file.
+
+        Written after every --progress-every images so that a wall-clock
+        kill of this process (the bench runs it under a bounded timeout)
+        still leaves a valid partial P/R on disk instead of nothing —
+        the protocol scores each image independently, so a prefix of the
+        val set is a meaningful (if noisier) estimate.
+        """
+        _, (precision, recall) = evaluation.score(
+            {k: true[k] for k in pred},
+            pred,
+            iou_threshold=0.5,
+            similarity_threshold=0.5,
+            translator=translator,
+        )
+        result = {
+            "n_images": done,
+            "n_images_requested": len(true),
+            "scale": args.scale,
+            "weights": weights_provenance,
+            "synthetic": bool(args.synthetic),
+            "precision": round(precision, 4),
+            "recall": round(recall, 4),
+            "p50_latency_ms": round(float(np.median(latencies)) * 1000, 2),
+            "mean_latency_ms": round(float(np.mean(latencies)) * 1000, 2),
+            "escalations": counters["escalations"],
+            "truncated_images": counters["truncated"],
+            "component_escalations": counters["component_escalations"],
+        }
+        if partial:
+            result["partial"] = True
+        tmp_path = args.output + ".tmp"
+        with open(tmp_path, "w", encoding="utf8") as f:
+            json.dump(result, f, indent=2)
+        os.replace(tmp_path, args.output)
+        return result
+
     pred = {}
     latencies = []
-    escalations = truncated = component_escalations = 0
-    for filepath in sorted(true):
+    counters = {"escalations": 0, "truncated": 0, "component_escalations": 0}
+    ordered = sorted(true)
+    for done, filepath in enumerate(ordered, start=1):
         image = images[filepath]
         start = time.perf_counter()
         predictions = pipeline.recognize(images=[image])[0]
         latencies.append(time.perf_counter() - start)
-        escalations += pipeline.last_run_stats["escalations"]
-        truncated += pipeline.last_run_stats["truncated_images"]
-        component_escalations += pipeline.last_run_stats.get(
+        counters["escalations"] += pipeline.last_run_stats["escalations"]
+        counters["truncated"] += pipeline.last_run_stats["truncated_images"]
+        counters["component_escalations"] += pipeline.last_run_stats.get(
             "component_escalations", 0
         )
         pred[filepath] = [
             {"text": word, "vertices": box} for word, box in predictions
         ]
+        if args.progress_every and done % args.progress_every == 0 and done < len(
+            ordered
+        ):
+            interim = score_and_write(
+                pred, latencies, counters, done, partial=True
+            )
+            print(
+                f"progress {done}/{len(ordered)}: "
+                f"P={interim['precision']} R={interim['recall']}",
+                file=sys.stderr,
+            )
 
-    translator = str.maketrans(
-        string.ascii_uppercase, string.ascii_lowercase, string.punctuation
-    )
-    _, (precision, recall) = evaluation.score(
-        true, pred, iou_threshold=0.5, similarity_threshold=0.5, translator=translator
-    )
-    result = {
-        "n_images": len(true),
-        "scale": args.scale,
-        "weights": weights_provenance,
-        "synthetic": bool(args.synthetic),
-        "precision": round(precision, 4),
-        "recall": round(recall, 4),
-        "p50_latency_ms": round(float(np.median(latencies)) * 1000, 2),
-        "mean_latency_ms": round(float(np.mean(latencies)) * 1000, 2),
-        "escalations": escalations,
-        "truncated_images": truncated,
-        "component_escalations": component_escalations,
-    }
+    result = score_and_write(pred, latencies, counters, len(ordered), partial=False)
     print(json.dumps(result))
-    with open(args.output, "w", encoding="utf8") as f:
-        json.dump(result, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,10 @@ def run_file(path):
 
 def main():
     repo_root = pathlib.Path(__file__).resolve().parent.parent
+    # The examples import keras_ocr_tpu; make the in-repo package importable
+    # even when it is not pip-installed (sys.path[0] is scripts/, and the
+    # runner chdirs to a scratch directory below).
+    sys.path.insert(0, str(repo_root))
     arguments = sys.argv[1:]
     files = (
         [pathlib.Path(a).resolve() for a in arguments]
