@@ -46,7 +46,16 @@ import numpy as np
 BASELINE_MS = 417.0
 BASELINE_IPS = 1000.0 / BASELINE_MS
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
-GOLDEN_IMAGE = "/root/reference/tests/test_image.jpg"
+# Golden fixture (reference tests/test_image.jpg; attribution in
+# tests/attribution.txt): prefer the in-repo copy so the golden check does
+# not depend on /root/reference existing in the bench environment.
+_GOLDEN_CANDIDATES = (
+    os.path.join(REPO_ROOT, "tests", "fixtures", "test_image.jpg"),
+    "/root/reference/tests/test_image.jpg",
+)
+GOLDEN_IMAGE = next(
+    (p for p in _GOLDEN_CANDIDATES if os.path.isfile(p)), _GOLDEN_CANDIDATES[0]
+)
 
 
 def predownload_weights():
@@ -63,12 +72,23 @@ def predownload_weights():
         # Keep stdout clean for the single JSON result line: the
         # downloader's progress messages go to stderr.
         with contextlib.redirect_stdout(sys.stderr):
-            weights_lib.download_pretrained(
-                weights_lib.DETECTOR_PRETRAINED[("clovaai_general", False)]
-            )
-            weights_lib.download_pretrained(
-                weights_lib.RECOGNIZER_PRETRAINED["kurapan"]["weights"]["top"]
-            )
+            paths = [
+                weights_lib.download_pretrained(
+                    weights_lib.DETECTOR_PRETRAINED[("clovaai_general", False)]
+                ),
+                weights_lib.download_pretrained(
+                    weights_lib.RECOGNIZER_PRETRAINED["kurapan"]["weights"]["top"]
+                ),
+            ]
+            # Persist into the in-repo vendored dir: the driver commits the
+            # work tree at end of round, so one successful networked round
+            # makes every later round hermetic (the bench env's DNS failed
+            # in both r1 and r2).
+            for path in paths:
+                try:
+                    weights_lib.vendor_weight_file(path)
+                except OSError as exc:
+                    print(f"WARNING: could not vendor {path}: {exc}", file=sys.stderr)
         return "pretrained"
     except Exception as exc:  # no network/cache: bench with random weights
         print(
@@ -222,7 +242,12 @@ def run_coco_eval(provenance):
         return {"status": "skipped(env)"}
     limit = int(os.environ.get("KERAS_OCR_TPU_BENCH_COCO_LIMIT", "1000"))
     timeout_s = int(os.environ.get("KERAS_OCR_TPU_BENCH_COCO_TIMEOUT_S", "2100"))
-    out_path = os.path.join(REPO_ROOT, "coco_text_results.json")
+    # Overridable so tests exercise the recovery logic against a tmp file
+    # instead of racing a real bench artifact at the repo root.
+    out_path = os.environ.get(
+        "KERAS_OCR_TPU_BENCH_COCO_RESULTS",
+        os.path.join(REPO_ROOT, "coco_text_results.json"),
+    )
     cmd = [
         sys.executable,
         os.path.join(REPO_ROOT, "scripts", "evaluate_coco_text.py"),
@@ -246,6 +271,12 @@ def run_coco_eval(provenance):
             return None
         if result.get("partial"):
             status = f"partial({status}, {result.get('n_images')} images)"
+        elif status != "ok":
+            # A COMPLETE results file with a failing exit means the eval
+            # finished its work and then died (e.g. teardown hang hit the
+            # timeout): the metrics are valid, so say so instead of
+            # letting status and data disagree.
+            status = f"ok-but-{status}"
         return {
             "status": status,
             "n_images": result.get("n_images"),
@@ -259,14 +290,23 @@ def run_coco_eval(provenance):
     # networked dataset download; the download is cached (sha256-verified
     # under ~/.keras-ocr), so a retry restarts with a warm cache. Skip the
     # retry when the first attempt already produced (partial) results.
+    # The two attempts SHARE the timeout_s budget (the retry gets whatever
+    # the first attempt left, min 5 min) so the COCO phase can never take
+    # more than ~timeout_s total wall time.
     failure = None
+    deadline = time.monotonic() + timeout_s
     for attempt in range(2):
+        attempt_timeout = max(300.0, deadline - time.monotonic()) if attempt else timeout_s
         try:
             proc = subprocess.run(
-                cmd, timeout=timeout_s, capture_output=True, text=True, cwd=REPO_ROOT
+                cmd,
+                timeout=attempt_timeout,
+                capture_output=True,
+                text=True,
+                cwd=REPO_ROOT,
             )
         except subprocess.TimeoutExpired:
-            failure = f"timeout({timeout_s}s)"
+            failure = f"timeout({int(attempt_timeout)}s)"
         else:
             if proc.returncode == 0:
                 done = read_results("ok")

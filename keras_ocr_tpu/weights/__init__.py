@@ -48,11 +48,84 @@ RECOGNIZER_PRETRAINED: typing.Dict[str, typing.Any] = {
 }
 
 
-def download_pretrained(config: dict) -> str:
-    """Fetch a registry entry into the shared cache, verifying sha256."""
-    return tools.download_and_verify(
-        url=config["url"], filename=config["filename"], sha256=config["sha256"]
+# Weight files are looked up OFFLINE first (vendored in-repo, then the
+# shared cache) and only then over the network, trying the canonical GitHub
+# release followed by mirrors. The bench environment's network is flaky
+# (r1/r2 both failed DNS), so any round that ever gets a successful
+# download persists the files into the vendored directory via
+# :func:`vendor_weight_file` and every later round is hermetic.
+WEIGHT_MIRRORS: typing.Tuple[str, ...] = (
+    # Highest priority: an operator-supplied mirror base URL (joined with
+    # the filename). Checked at call time so tests can monkeypatch env.
+    # Then public mirrors of the keras-ocr release assets.
+    "https://huggingface.co/spuun/keras-ocr-weights/resolve/main/{filename}",
+    "https://storage.googleapis.com/keras-ocr/{filename}",
+)
+
+
+def vendored_weights_dir() -> str:
+    """In-repo directory searched for weight files before any network use.
+
+    Defaults to ``<repo-root>/weights_pretrained``; override with
+    ``KERAS_OCR_TPU_VENDORED_WEIGHTS``.
+    """
+    import os
+
+    default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "weights_pretrained",
     )
+    return os.environ.get("KERAS_OCR_TPU_VENDORED_WEIGHTS", default)
+
+
+def vendor_weight_file(path: str) -> str:
+    """Copy a verified weight file into the vendored in-repo directory.
+
+    Called by the bench after a successful networked download so the file
+    is committed with the round and later rounds never need the network.
+    Returns the vendored path.
+    """
+    import os
+    import shutil
+
+    dest_dir = vendored_weights_dir()
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, os.path.basename(path))
+    if os.path.abspath(dest) != os.path.abspath(path) and (
+        not os.path.isfile(dest) or tools.sha256sum(dest) != tools.sha256sum(path)
+    ):
+        shutil.copyfile(path, dest)
+    return dest
+
+
+def download_pretrained(config: dict) -> str:
+    """Resolve a registry entry to a local verified file.
+
+    Order: vendored in-repo copy -> shared sha256 cache -> canonical URL ->
+    ``KERAS_OCR_TPU_WEIGHTS_MIRROR`` env base -> public mirrors. The first
+    source whose sha256 matches wins.
+    """
+    import os
+
+    filename, sha256 = config["filename"], config["sha256"]
+    vendored = os.path.join(vendored_weights_dir(), filename)
+    if os.path.isfile(vendored) and tools.sha256sum(vendored) == sha256:
+        return vendored
+    urls = [config["url"]]
+    mirror_base = os.environ.get("KERAS_OCR_TPU_WEIGHTS_MIRROR")
+    if mirror_base:
+        urls.insert(0, mirror_base.rstrip("/") + "/" + filename)
+    urls.extend(m.format(filename=filename) for m in WEIGHT_MIRRORS)
+    last_exc: typing.Optional[Exception] = None
+    for url in urls:
+        try:
+            return tools.download_and_verify(url=url, filename=filename, sha256=sha256)
+        except Exception as exc:  # noqa: BLE001 - try the next mirror
+            last_exc = exc
+    raise RuntimeError(
+        f"Could not obtain {filename} from any of {len(urls)} sources "
+        f"(vendored dir {vendored_weights_dir()!r} missing it too): {last_exc}"
+    ) from last_exc
 
 
 # ---------------------------------------------------------------------------

@@ -19,9 +19,6 @@ import time
 
 import numpy as np
 
-import os
-import sys
-
 # Make the in-repo package importable when run as `python scripts/<name>.py`
 # without a pip install (sys.path[0] is scripts/, not the repo root).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -35,8 +32,6 @@ def build_ground_truth(limit):
     dataset, (labels, images_dir) = datasets.get_cocotext_recognizer_dataset(
         split="val", limit=limit, return_raw_labels=True
     )
-    import os
-
     true = {}
     for cocoid in list(labels["imgs"])[:limit]:
         filepath = os.path.join(images_dir, labels["imgs"][cocoid]["file_name"])
@@ -145,8 +140,9 @@ def main():
     )
     try:
         pipeline = keras_ocr_tpu.Pipeline(**pipeline_kwargs)
-    except (urllib.error.URLError, OSError, ValueError) as exc:
-        # ValueError: sha256 mismatch from tools.download_and_verify.
+    except (urllib.error.URLError, OSError, ValueError, RuntimeError) as exc:
+        # ValueError: sha256 mismatch from tools.download_and_verify;
+        # RuntimeError: weights.download_pretrained exhausted every source.
         # Weight download/verify failed — fall back to random weights so
         # the PROTOCOL can still be smoke-tested offline, but say so loudly
         # and stamp the output: a random-weight P/R is NOT a benchmark.

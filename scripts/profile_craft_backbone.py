@@ -101,7 +101,6 @@ def main():
 
     px = h * w
     gf = {
-        "conv1_1": px * 64 * 27 * 2 / 1e9,
         "block1": (px * 64 * 27 * 2 + px * 64 * 576 * 2) / 1e9,
         "backbone": 0.0,
     }

@@ -21,12 +21,26 @@ from keras_ocr_tpu import tools
 from keras_ocr_tpu.detection import Detector
 from keras_ocr_tpu.recognition import Recognizer
 
+from keras_ocr_tpu import weights as weights_lib
+
 WEIGHTS_CACHED = all(
-    os.path.isfile(os.path.join(tools.get_default_cache_dir(), name))
+    any(
+        os.path.isfile(os.path.join(directory, name))
+        for directory in (
+            tools.get_default_cache_dir(),
+            weights_lib.vendored_weights_dir(),
+        )
+    )
     for name in ["craft_mlt_25k.h5", "crnn_kurapan.h5"]
 )
 
-TEST_IMAGE = "/root/reference/tests/test_image.jpg"
+# In-repo copy of the reference's golden fixture (attribution alongside);
+# falls back to the reference checkout when the fixture is absent.
+TEST_IMAGE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "test_image.jpg"
+)
+if not os.path.isfile(TEST_IMAGE):
+    TEST_IMAGE = "/root/reference/tests/test_image.jpg"
 
 
 @pytest.fixture(scope="module")
