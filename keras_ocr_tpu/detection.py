@@ -34,6 +34,14 @@ from .weights import DETECTOR_PRETRAINED as PRETRAINED_WEIGHTS  # noqa: E402
 # (noise-saturated) heatmaps while covering any real scene.
 MAX_COMPONENTS_CEILING = 1024
 
+# Hard ceiling for the labeling-sweep escalation: sweeps are unrolled into
+# the compiled program, so this bounds compile time; real heatmaps converge
+# in 1-2 sweeps and the device kernel PROVES convergence per call, so a
+# still-unconverged result at this ceiling (a >64-direction-change
+# serpentine) falls back to the exact host oracle instead.
+MAX_SWEEPS_CEILING = 64
+DEFAULT_NUM_SWEEPS = 8
+
 
 def compute_input(image):
     """Host NumPy ImageNet normalization (detection.py:34-42)."""
@@ -275,32 +283,65 @@ class Detector:
         images_array = np.array([compute_input(tools.read(image)) for image in images])
         heatmaps = self._forward(self.variables, jnp.asarray(images_array))
         if use_device_postprocess:
-            # The device kernel labels at most `cap` components; the kernel
-            # also reports the TOTAL it found, so a busy scene escalates to
-            # a doubled cap (one extra cached compile per cap) instead of
-            # silently dropping components the reference would keep.
+            # The device kernel labels at most `cap` components and sweeps
+            # `sweeps` times; it reports the TOTAL components found and a
+            # PROOF of labeling convergence, so a busy scene escalates the
+            # cap and a pathological (serpentine) scene escalates the sweep
+            # count (one extra cached compile each) instead of silently
+            # dropping or splitting components the reference would keep.
             cap = self.max_components
+            sweeps = DEFAULT_NUM_SWEEPS
             while True:
-                boxes, mask, ncomp = postprocess_ops.get_boxes(
+                boxes, mask, ncomp, converged = postprocess_ops.get_boxes(
                     heatmaps,
                     detection_threshold=detection_threshold,
                     text_threshold=text_threshold,
                     link_threshold=link_threshold,
                     size_threshold=size_threshold,
                     max_components=cap,
+                    num_sweeps=sweeps,
                 )
                 found = int(np.asarray(ncomp).max()) if len(images) else 0
-                if found <= cap or cap >= MAX_COMPONENTS_CEILING:
-                    if found > cap:
-                        warnings.warn(
-                            f"{found} thresholded components exceed the "
-                            f"{MAX_COMPONENTS_CEILING} device cap; extra "
-                            "components were dropped. Use "
-                            "use_device_postprocess=False for this image.",
-                            stacklevel=2,
-                        )
-                    break
-                cap = min(cap * 2, MAX_COMPONENTS_CEILING)
+                all_converged = (
+                    bool(np.asarray(converged).all()) if len(images) else True
+                )
+                if not all_converged and sweeps < MAX_SWEEPS_CEILING:
+                    sweeps = min(sweeps * 2, MAX_SWEEPS_CEILING)
+                    continue
+                if found > cap and cap < MAX_COMPONENTS_CEILING:
+                    cap = min(cap * 2, MAX_COMPONENTS_CEILING)
+                    continue
+                if found > cap:
+                    warnings.warn(
+                        f"{found} thresholded components exceed the "
+                        f"{MAX_COMPONENTS_CEILING} device cap; extra "
+                        "components were dropped. Use "
+                        "use_device_postprocess=False for this image.",
+                        stacklevel=2,
+                    )
+                break
+            if not all_converged:
+                # Provably unconverged even at the sweep ceiling: the exact
+                # host oracle replaces the affected images' results.
+                warnings.warn(
+                    f"component labeling did not converge within "
+                    f"{MAX_SWEEPS_CEILING} sweeps; falling back to host "
+                    "post-processing for the affected image(s).",
+                    stacklevel=2,
+                )
+                device_groups = boxes_from_mask(boxes, mask)
+                conv = np.asarray(converged)
+                host_groups = getBoxes(
+                    np.asarray(heatmaps),
+                    detection_threshold=detection_threshold,
+                    text_threshold=text_threshold,
+                    link_threshold=link_threshold,
+                    size_threshold=size_threshold,
+                )
+                return [
+                    device if ok else host
+                    for device, host, ok in zip(device_groups, host_groups, conv)
+                ]
             return boxes_from_mask(boxes, mask)
         return getBoxes(
             np.asarray(heatmaps),

@@ -47,7 +47,7 @@ def _shift(arr, distance, axis, reverse, fill):
     return jnp.concatenate([pad, sliced], axis=axis)
 
 
-def segmented_min_sweeps(values, barrier, sentinel, num_sweeps):
+def segmented_min_sweeps(values, barrier, sentinel, num_sweeps, check_convergence=False):
     """Propagate per-component minima of ``values`` across a barrier mask.
 
     Args:
@@ -56,10 +56,19 @@ def segmented_min_sweeps(values, barrier, sentinel, num_sweeps):
         sentinel: value acting as +inf.
         num_sweeps: static number of row+column propagation sweeps; each
             sweep resolves one direction change of a component's shape.
+        check_convergence: when True, run ONE extra sweep and report
+            whether it changed anything — the propagation is monotone, so
+            an unchanged sweep proves the fixpoint was reached and the
+            labeling is exact; a changed one proves ``num_sweeps`` was too
+            small (e.g. a serpentine component with more direction changes
+            than sweeps, which would otherwise SILENTLY split into
+            several components). Callers escalate ``num_sweeps`` on a
+            False flag, mirroring the component-cap escalation.
 
     Returns:
         (H, W) int32: per-component minimum at every non-barrier position,
-        ``sentinel`` at barriers.
+        ``sentinel`` at barriers. With ``check_convergence``, a tuple of
+        (values after the extra sweep, scalar bool ``converged``).
     """
 
     def segmented_min(v0, axis, reverse):
@@ -90,14 +99,20 @@ def segmented_min_sweeps(values, barrier, sentinel, num_sweeps):
         out, _ = jax.lax.scan(
             lambda lab, _: (sweep(lab), None), values, None, length=num_sweeps
         )
-        return out
-    for _ in range(num_sweeps):
-        values = sweep(values)
-    return values
+    else:
+        out = values
+        for _ in range(num_sweeps):
+            out = sweep(out)
+    if check_convergence:
+        final = sweep(out)
+        return final, jnp.all(final == out)
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("num_sweeps",))
-def label_components(fg: jnp.ndarray, num_sweeps: int = 8) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("num_sweeps", "check_convergence"))
+def label_components(
+    fg: jnp.ndarray, num_sweeps: int = 8, check_convergence: bool = False
+):
     """4-connected component labels for a boolean mask.
 
     Args:
@@ -105,21 +120,33 @@ def label_components(fg: jnp.ndarray, num_sweeps: int = 8) -> jnp.ndarray:
         num_sweeps: static number of propagation sweeps; 8 handles shapes
             with up to 8 direction changes (far beyond real text blobs,
             which converge in 1-2). Raise for pathological masks.
+        check_convergence: also return a scalar bool proving the labeling
+            reached its fixpoint (see :func:`segmented_min_sweeps`).
 
     Returns:
         (H, W) int32 array: for foreground pixels, the flat index of the
         component's minimum pixel (root); for background, ``H * W``.
+        With ``check_convergence``, a (labels, converged) tuple.
     """
     height, width = fg.shape
     sentinel = height * width
     idx = jnp.arange(sentinel, dtype=jnp.int32).reshape(height, width)
     label = jnp.where(fg, idx, sentinel)
     barrier = (~fg).astype(jnp.int32)
-    return segmented_min_sweeps(label, barrier, sentinel, num_sweeps)
+    return segmented_min_sweeps(
+        label, barrier, sentinel, num_sweeps, check_convergence=check_convergence
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("max_components", "num_sweeps"))
-def compact_labels(label: jnp.ndarray, max_components: int, num_sweeps: int = 8):
+@functools.partial(
+    jax.jit, static_argnames=("max_components", "num_sweeps", "check_convergence")
+)
+def compact_labels(
+    label: jnp.ndarray,
+    max_components: int,
+    num_sweeps: int = 8,
+    check_convergence: bool = False,
+):
     """Compact root labels to dense component ids in raster order.
 
     Gather-free: the compact id is written at each component's root pixel
@@ -136,6 +163,9 @@ def compact_labels(label: jnp.ndarray, max_components: int, num_sweeps: int = 8)
         comp: (H, W) int32 in [0, max_components) for foreground pixels of
             kept components, ``max_components`` otherwise (dump segment).
         num_components: scalar int32, total roots found (may exceed capacity).
+        With ``check_convergence``, additionally a scalar bool proving the
+        id propagation reached every pixel (see
+        :func:`segmented_min_sweeps`).
     """
     height, width = label.shape
     sentinel = height * width
@@ -147,8 +177,14 @@ def compact_labels(label: jnp.ndarray, max_components: int, num_sweeps: int = 8)
     barrier = 1 - fg_int
     seeded = (is_root * order + (1 - is_root) * sentinel).reshape(height, width)
     seeded = seeded + barrier * (sentinel - seeded)
-    comp = segmented_min_sweeps(seeded, barrier, sentinel, num_sweeps)
+    comp = segmented_min_sweeps(
+        seeded, barrier, sentinel, num_sweeps, check_convergence=check_convergence
+    )
+    if check_convergence:
+        comp, converged = comp
     comp = jnp.where(
         fg_int.astype(bool) & (comp < max_components), comp, max_components
     )
+    if check_convergence:
+        return comp, is_root.sum().astype(jnp.int32), converged
     return comp, is_root.sum().astype(jnp.int32)

@@ -13,9 +13,13 @@ Shift-with-fill is expressed as ``pltpu.roll`` (circular) plus an iota
 mask overwriting the wrapped region with the sentinel — no concatenation,
 no relayouts; the whole loop is int32 arithmetic on (sublane, lane) tiles.
 
-Used by :func:`keras_ocr_tpu.ops.cc.segmented_min_sweeps` on the TPU
-backend; the XLA path remains for CPU (and as the oracle in tests, which
-run this kernel in interpreter mode).
+NOT dispatched by default: on-chip measurement (PERF.md, "Conv-block
+fusion"/CC sections) shows this kernel only TIES the XLA lowering of
+:func:`keras_ocr_tpu.ops.cc.segmented_min_sweeps` — XLA already keeps the
+propagation VMEM-resident and fused — so the simpler XLA path stays the
+production one. The kernel is kept, tested (interpreter-mode oracle
+parity in ``tests/test_cc_pallas.py``), and benchmarked as the baseline
+to beat for any future hand-scheduled variant.
 """
 
 from __future__ import annotations

@@ -66,6 +66,7 @@ from .cc import compact_labels, label_components
         "size_threshold",
         "max_components",
         "num_angles",
+        "num_sweeps",
     ),
 )
 def get_boxes(
@@ -76,6 +77,7 @@ def get_boxes(
     size_threshold: int = 10,
     max_components: int = 256,
     num_angles: int = 36,
+    num_sweeps: int = 8,
 ):
     """Batched heatmaps -> (boxes, mask).
 
@@ -85,6 +87,8 @@ def get_boxes(
             [0, 90) degrees (36 = 2.5-degree resolution; the area of the
             chosen rectangle is within ~0.4% of the continuous optimum for
             elongated blobs).
+        num_sweeps: static component-labeling sweep count; the returned
+            ``converged`` flag proves (or disproves) it sufficed.
 
     Returns:
         boxes: (B, max_components, 4, 2) float32 corners in input-image
@@ -95,6 +99,12 @@ def get_boxes(
             exceeds ``max_components``, components were silently dropped in
             raster order and the caller should rerun with a bigger cap
             (the reference's host loop has no cap, detection.py:227-285).
+        converged: (B,) bool — the labeling propagation provably reached
+            its fixpoint (cv2.connectedComponentsWithStats is always
+            exact, detection.py:227-229). False means a pathological
+            (serpentine) component needed more than ``num_sweeps`` sweeps
+            and may have been SPLIT; the caller should rerun with a
+            doubled ``num_sweeps``.
     """
 
     def single(hm):
@@ -106,6 +116,7 @@ def get_boxes(
             size_threshold,
             max_components,
             num_angles,
+            num_sweeps,
         )
 
     return jax.vmap(single)(heatmaps)
@@ -154,6 +165,7 @@ def _get_boxes_single(
     size_threshold,
     max_components,
     num_angles,
+    num_sweeps=8,
 ):
     height, width = hm.shape[0], hm.shape[1]
     num_segments = max_components + 1  # last segment = dumped pixels
@@ -164,8 +176,13 @@ def _get_boxes_single(
     link_score = linkmap > link_threshold
     fg = text_score | link_score
 
-    label = label_components(fg)
-    comp, n_total = compact_labels(label, max_components)
+    label, label_converged = label_components(
+        fg, num_sweeps=num_sweeps, check_convergence=True
+    )
+    comp, n_total, comp_converged = compact_labels(
+        label, max_components, num_sweeps=num_sweeps, check_convergence=True
+    )
+    converged = label_converged & comp_converged
 
     # Segment ids for the overlap-removed segmap (detection.py:244-246).
     overlap = link_score & text_score
@@ -291,4 +308,4 @@ def _get_boxes_single(
 
     valid = valid & (n_seg > 0)
     boxes = jnp.where(valid[:, None, None], boxes * 2.0, 0.0)
-    return boxes.astype(jnp.float32), valid, n_total
+    return boxes.astype(jnp.float32), valid, n_total, converged

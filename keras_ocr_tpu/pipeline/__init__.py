@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import tools
+from .. import detection as detection_mod
 from ..detection import Detector
 from ..recognition import Recognizer
 from ..ops import ctc as ctc_ops
@@ -96,6 +97,7 @@ class Pipeline:
             )
         self.word_buckets = tuple(int(b) for b in word_buckets)
         self._component_cap = detector.max_components
+        self._num_sweeps = detection_mod.DEFAULT_NUM_SWEEPS
         self._bucket_start = 0
         # Per-call observability: bucket escalations + images whose word
         # slots all filled at the top bucket (possible truncation).
@@ -103,6 +105,7 @@ class Pipeline:
             "escalations": 0,
             "truncated_images": 0,
             "component_escalations": 0,
+            "sweep_escalations": 0,
         }
         self.size_bucket = size_bucket
         self.pad_to = pad_to
@@ -154,6 +157,7 @@ class Pipeline:
                 "max_components",
                 "max_words",
                 "resize_to",
+                "num_sweeps",
             ),
         )
 
@@ -169,6 +173,7 @@ class Pipeline:
         max_components,
         max_words,
         resize_to=None,  # static (H', W'): upscale on device (x`scale`)
+        num_sweeps=detection_mod.DEFAULT_NUM_SWEEPS,
     ):
         from ..ops.image import resize_bilinear
 
@@ -189,13 +194,14 @@ class Pipeline:
             heatmaps = jax.lax.with_sharding_constraint(
                 heatmaps, self._batch_sharding
             )
-        boxes, mask, ncomp = postprocess_ops.get_boxes(
+        boxes, mask, ncomp, converged = postprocess_ops.get_boxes(
             heatmaps,
             detection_threshold=detection_threshold,
             text_threshold=text_threshold,
             link_threshold=link_threshold,
             size_threshold=size_threshold,
             max_components=max_components,
+            num_sweeps=num_sweeps,
         )
         # Compact valid boxes into the first max_words slots (stable order).
         order = jnp.argsort(~mask, axis=1, stable=True)[:, :max_words]  # (B, W)
@@ -226,8 +232,10 @@ class Pipeline:
         # Pack everything into ONE output array so the host needs a single
         # fetch (each fetch pays a full RPC round trip on tunneled TPUs).
         # Values are small ints / coords, exactly representable in fp32.
-        # Last column = total thresholded components found (broadcast per
-        # image) so the host can escalate max_components on overflow.
+        # Second-to-last column = total thresholded components found
+        # (broadcast per image) so the host can escalate max_components on
+        # overflow; last column = labeling-convergence proof so the host
+        # can escalate num_sweeps (1 = converged).
         packed = jnp.concatenate(
             [
                 boxes_c.reshape(batch, words, 8),
@@ -235,6 +243,9 @@ class Pipeline:
                 decoded.astype(jnp.float32),
                 jnp.broadcast_to(
                     ncomp.astype(jnp.float32)[:, None, None], (batch, words, 1)
+                ),
+                jnp.broadcast_to(
+                    converged.astype(jnp.float32)[:, None, None], (batch, words, 1)
                 ),
             ],
             axis=-1,
@@ -327,7 +338,8 @@ class Pipeline:
         return device_batch, scales, num_real, resize_to
 
     def _launch(
-        self, device_batch, detection_kwargs, bucket, resize_to, components
+        self, device_batch, detection_kwargs, bucket, resize_to, components,
+        sweeps=detection_mod.DEFAULT_NUM_SWEEPS,
     ):
         """Asynchronously dispatch the fused program at one word bucket."""
         return self._fused(
@@ -343,6 +355,7 @@ class Pipeline:
             max_components=components,
             max_words=bucket,
             resize_to=resize_to,
+            num_sweeps=sweeps,
         )
 
     def _fetch_escalating(
@@ -354,6 +367,7 @@ class Pipeline:
         num_real,
         bucket,
         components,
+        sweeps=detection_mod.DEFAULT_NUM_SWEEPS,
     ):
         """Fetch a dispatched result; escalate the word bucket on overflow.
 
@@ -363,25 +377,52 @@ class Pipeline:
         start remembers the density so steady workloads pay exactly ONE
         program per call.
 
-        ``components`` is the component cap ``packed_dev`` was LAUNCHED
-        with — overflow must be judged against that, not the mutable
-        ``self._component_cap``, which another in-flight chunk may already
-        have escalated past this result's actual cap.
+        ``components``/``sweeps`` are the caps ``packed_dev`` was LAUNCHED
+        with — overflow must be judged against those, not the mutable
+        ``self._component_cap``/``self._num_sweeps``, which another
+        in-flight chunk may already have escalated past this result's
+        actual caps.
         """
         remaining = list(
             self.word_buckets[self.word_buckets.index(bucket) + 1 :]
         )
         packed = np.asarray(packed_dev)[:num_real]
-        # Component overflow first: the kernel reports the TOTAL components
-        # it found (last packed column); if that exceeds the cap it labeled
-        # with, components were dropped in raster order — rerun with a
-        # doubled cap (sticky, one extra cached compile per cap) so busy
-        # scenes keep reference-equivalent recall.
-        from ..detection import MAX_COMPONENTS_CEILING
+        from ..detection import MAX_COMPONENTS_CEILING, MAX_SWEEPS_CEILING
 
+        # Labeling convergence first (last packed column): an unconverged
+        # sweep count may SPLIT serpentine components, which both corrupts
+        # boxes and overcounts ncomp — so it must be resolved before the
+        # component-overflow check reads ncomp.
         while (
             len(packed)
-            and int(packed[:, 0, -1].max()) > components
+            and float(packed[:, 0, -1].min()) < 0.5
+            and sweeps < MAX_SWEEPS_CEILING
+        ):
+            sweeps = min(sweeps * 2, MAX_SWEEPS_CEILING)
+            self._num_sweeps = max(self._num_sweeps, sweeps)
+            self.last_run_stats["sweep_escalations"] += 1
+            packed = np.asarray(
+                self._launch(
+                    device_batch, detection_kwargs, bucket, resize_to,
+                    components, sweeps,
+                )
+            )[:num_real]
+        if len(packed) and float(packed[:, 0, -1].min()) < 0.5:
+            warnings.warn(
+                f"component labeling did not converge within "
+                f"{MAX_SWEEPS_CEILING} sweeps; serpentine components may "
+                "be split. Use Detector.detect(use_device_postprocess="
+                "False) for this image.",
+                stacklevel=3,
+            )
+        # Component overflow: the kernel reports the TOTAL components it
+        # found (second-to-last packed column); if that exceeds the cap it
+        # labeled with, components were dropped in raster order — rerun
+        # with a doubled cap (sticky, one extra cached compile per cap) so
+        # busy scenes keep reference-equivalent recall.
+        while (
+            len(packed)
+            and int(packed[:, 0, -2].max()) > components
             and components < MAX_COMPONENTS_CEILING
         ):
             components = min(components * 2, MAX_COMPONENTS_CEILING)
@@ -389,7 +430,8 @@ class Pipeline:
             self.last_run_stats["component_escalations"] += 1
             packed = np.asarray(
                 self._launch(
-                    device_batch, detection_kwargs, bucket, resize_to, components
+                    device_batch, detection_kwargs, bucket, resize_to,
+                    components, sweeps,
                 )
             )[:num_real]
         while bool((packed[..., 8] > 0.5).all(axis=1).any()) and remaining:
@@ -397,7 +439,8 @@ class Pipeline:
             self.last_run_stats["escalations"] += 1
             packed = np.asarray(
                 self._launch(
-                    device_batch, detection_kwargs, bucket, resize_to, components
+                    device_batch, detection_kwargs, bucket, resize_to,
+                    components, sweeps,
                 )
             )[:num_real]
         saturated = int((packed[..., 8] > 0.5).all(axis=1).sum()) if len(packed) else 0
@@ -422,10 +465,10 @@ class Pipeline:
         return packed
 
     def _finalize(self, packed, scales):
-        """Unpack the fetched (B, words, 8+1+T+1) array into the ragged API."""
+        """Unpack the fetched (B, words, 8+1+T+2) array into the ragged API."""
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
-        decoded = packed[..., 9:-1].astype("int32")
+        decoded = packed[..., 9:-2].astype("int32")
 
         results = []
         for i, scale in enumerate(scales):
@@ -459,6 +502,7 @@ class Pipeline:
             "escalations": 0,
             "truncated_images": 0,
             "component_escalations": 0,
+            "sweep_escalations": 0,
         }
         if recognition_kwargs:
             return self._recognize_two_stage(
@@ -467,8 +511,9 @@ class Pipeline:
         device_batch, scales, num_real, resize_to = self._prepare(images)
         bucket = self.word_buckets[self._bucket_start]
         components = self._component_cap
+        sweeps = self._num_sweeps
         packed_dev = self._launch(
-            device_batch, detection_kwargs, bucket, resize_to, components
+            device_batch, detection_kwargs, bucket, resize_to, components, sweeps
         )
         packed = self._fetch_escalating(
             packed_dev,
@@ -478,6 +523,7 @@ class Pipeline:
             num_real,
             bucket,
             components,
+            sweeps,
         )
         return self._finalize(packed, scales)
 
@@ -537,6 +583,7 @@ class Pipeline:
             "escalations": 0,
             "truncated_images": 0,
             "component_escalations": 0,
+            "sweep_escalations": 0,
         }
         if not isinstance(images, (list, tuple)):
             images = list(images)
@@ -552,6 +599,7 @@ class Pipeline:
                 scales,
                 bucket,
                 components,
+                sweeps,
             ) = inflight.pop(0)
             packed = self._fetch_escalating(
                 packed_dev,
@@ -561,6 +609,7 @@ class Pipeline:
                 num_real,
                 bucket,
                 components,
+                sweeps,
             )
             results.extend(self._finalize(packed, scales))
 
@@ -569,8 +618,10 @@ class Pipeline:
             device_batch, scales, num_real, resize_to = self._prepare(chunk)
             bucket = self.word_buckets[self._bucket_start]
             components = self._component_cap
+            sweeps = self._num_sweeps
             packed_dev = self._launch(
-                device_batch, detection_kwargs, bucket, resize_to, components
+                device_batch, detection_kwargs, bucket, resize_to, components,
+                sweeps,
             )
             inflight.append(
                 (
@@ -581,6 +632,7 @@ class Pipeline:
                     scales,
                     bucket,
                     components,
+                    sweeps,
                 )
             )
             if len(inflight) > queue_depth:
@@ -700,8 +752,9 @@ class ExportedPipeline:
         boxes = packed[..., :8].reshape(packed.shape[0], packed.shape[1], 4, 2)
         mask = packed[..., 8] > 0.5
         # Slice by the artifact's own CTC length: artifacts exported before
-        # the trailing ncomp column have width 9+T, newer ones 9+T+1 — a
-        # fixed [9:-1] would silently drop the last timestep on the former.
+        # the trailing ncomp/converged columns have width 9+T, newer ones
+        # 9+T+1 or 9+T+2 — a fixed negative slice would silently drop
+        # trailing timesteps on the former.
         decoded = packed[..., 9 : 9 + self.meta["ctc_time"]].astype("int32")
         results = []
         for i in range(len(images)):

@@ -149,7 +149,7 @@ def run_population(name, heatmaps, results):
     split = total = 0
     for index, hm in enumerate(heatmaps):
         host = detection.getBoxes(hm[None])[0]
-        boxes, mask, _ = postprocess_ops.get_boxes(
+        boxes, mask, _, _ = postprocess_ops.get_boxes(
             jnp.asarray(hm[None]), max_components=128
         )
         device = detection.boxes_from_mask(boxes, mask)[0]
