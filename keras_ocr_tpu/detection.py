@@ -258,6 +258,29 @@ class Detector:
             from .models import init_variables
 
             self.variables = init_variables(self.model, (1, 64, 64, 3))
+            if "efficientnet" in backbone_name.lower():
+                # The reference always builds non-VGG detectors on
+                # ImageNet-pretrained backbone features
+                # (/root/reference/keras_ocr/detection.py:338-341); graft
+                # the converted checkpoint under ``basenet`` and leave the
+                # decoder/head randomly initialized. Offline (no cache, no
+                # network) degrades to random init with a warning.
+                try:
+                    from .weights.efficientnet import (
+                        graft_backbone_variables,
+                        load_efficientnet_imagenet,
+                    )
+
+                    self.variables = graft_backbone_variables(
+                        self.variables, load_efficientnet_imagenet(backbone_name)
+                    )
+                except Exception as exc:  # noqa: BLE001 - offline fallback
+                    warnings.warn(
+                        f"ImageNet initialization for {backbone_name} "
+                        f"unavailable ({type(exc).__name__}: {exc}); the "
+                        "backbone starts from random weights.",
+                        stacklevel=2,
+                    )
         self._forward = jax.jit(
             lambda variables, x: self.model.apply(variables, x, train=False)
         )
@@ -292,7 +315,7 @@ class Detector:
             cap = self.max_components
             sweeps = DEFAULT_NUM_SWEEPS
             while True:
-                boxes, mask, ncomp, converged = postprocess_ops.get_boxes(
+                boxes, mask, diag = postprocess_ops.get_boxes(
                     heatmaps,
                     detection_threshold=detection_threshold,
                     text_threshold=text_threshold,
@@ -301,10 +324,13 @@ class Detector:
                     max_components=cap,
                     num_sweeps=sweeps,
                 )
-                found = int(np.asarray(ncomp).max()) if len(images) else 0
-                all_converged = (
-                    bool(np.asarray(converged).all()) if len(images) else True
+                found = (
+                    int(np.asarray(diag["n_components"]).max())
+                    if len(images)
+                    else 0
                 )
+                converged = np.asarray(diag["converged"])
+                all_converged = bool(converged.all()) if len(images) else True
                 if not all_converged and sweeps < MAX_SWEEPS_CEILING:
                     sweeps = min(sweeps * 2, MAX_SWEEPS_CEILING)
                     continue
@@ -320,17 +346,47 @@ class Detector:
                         stacklevel=2,
                     )
                 break
-            if not all_converged:
-                # Provably unconverged even at the sweep ceiling: the exact
-                # host oracle replaces the affected images' results.
+
+            # Multi-blob components (the contours[0] case,
+            # detection.py:267-273): patch with the exact windowed tier-2
+            # fit, escalating its (window, iterations, cap) ladder.
+            needs_host = ~converged if len(images) else np.zeros(0, bool)
+            if len(images) and int(np.asarray(diag["n_multiblob"]).max()) > 0:
+                from .ops import refine as refine_ops
+
+                refine_ok = None
+                for wh, ww, md, it, rc in refine_ops.LADDER:
+                    boxes, refine_ok, _ = refine_ops.refine_boxes(
+                        heatmaps,
+                        boxes,
+                        detection_threshold=detection_threshold,
+                        text_threshold=text_threshold,
+                        link_threshold=link_threshold,
+                        size_threshold=size_threshold,
+                        max_components=cap,
+                        num_sweeps=sweeps,
+                        refine_cap=rc,
+                        window_h=wh,
+                        window_w=ww,
+                        max_dilate=md,
+                        num_iters=it,
+                    )
+                    refine_ok = np.asarray(refine_ok)
+                    if refine_ok.all():
+                        break
+                needs_host = needs_host | ~refine_ok
+
+            if needs_host.any():
+                # Provably unresolved on device even at the ladder top: the
+                # exact host oracle replaces the affected images' results.
                 warnings.warn(
-                    f"component labeling did not converge within "
-                    f"{MAX_SWEEPS_CEILING} sweeps; falling back to host "
-                    "post-processing for the affected image(s).",
+                    "device post-processing could not prove exactness for "
+                    f"{int(needs_host.sum())} image(s) (labeling "
+                    "convergence or contours[0] refinement); falling back "
+                    "to host post-processing for them.",
                     stacklevel=2,
                 )
                 device_groups = boxes_from_mask(boxes, mask)
-                conv = np.asarray(converged)
                 host_groups = getBoxes(
                     np.asarray(heatmaps),
                     detection_threshold=detection_threshold,
@@ -339,8 +395,10 @@ class Detector:
                     size_threshold=size_threshold,
                 )
                 return [
-                    device if ok else host
-                    for device, host, ok in zip(device_groups, host_groups, conv)
+                    host if bad else device
+                    for device, host, bad in zip(
+                        device_groups, host_groups, needs_host
+                    )
                 ]
             return boxes_from_mask(boxes, mask)
         return getBoxes(

@@ -109,6 +109,260 @@ def segmented_min_sweeps(values, barrier, sentinel, num_sweeps, check_convergenc
     return out
 
 
+def _shift2(arr, dy, dx, fill):
+    """Bring the element at offset (-dy, -dx); edges filled with ``fill``."""
+    out = arr
+    if dy:
+        out = _shift(out, abs(dy), axis=0, reverse=dy < 0, fill=fill)
+    if dx:
+        out = _shift(out, abs(dx), axis=1, reverse=dx < 0, fill=fill)
+    return out
+
+
+_DIAGONALS = ((-1, -1), (-1, 1), (1, -1), (1, 1))
+
+
+def _prefix_max_payload(measure, payloads, axis, reverse, fill):
+    """Running (prefix) max of ``measure`` along ``axis`` with payloads.
+
+    Hillis-Steele doubling; ``payloads`` ride along with the winning
+    position. ``reverse=True`` scans from the high end (suffix max).
+    """
+    distance = 1
+    size = measure.shape[axis]
+    while distance < size:
+        ms = _shift(measure, distance, axis, reverse, fill)
+        take = ms > measure
+        measure = jnp.maximum(measure, ms)
+        payloads = [
+            jnp.where(take, _shift(p, distance, axis, reverse, 0), p)
+            for p in payloads
+        ]
+        distance *= 2
+    return measure, payloads
+
+
+def brushfire_dilate(seed, comp, grow_a, grow_b):
+    """Per-component square dilation of ``seed`` in one (H, W) plane.
+
+    Computes the union over seed pixels p of the square
+    ``[px - b_p, px + a_p] x [py - b_p, py + a_p]`` (cv2.dilate geometry
+    with per-component kernel sizes, clipped at the image border), via
+    separable max-plus prefix scans: a seed at x covers x' >= x iff
+    ``x + a >= x'``, so prefix-max of ``x + a`` decides coverage and its
+    arg carries the covering component. Where several components' squares
+    overlap, ONE winner is recorded; seed pixels always keep their own
+    component. Downstream blob counting therefore can only OVER-count a
+    component's dilated blobs (a contested pixel lost to another
+    component may split a blob, never merge one) — the conservative
+    direction for the multi-blob refinement flag.
+
+    Args:
+        seed: (H, W) bool seed mask.
+        comp: (H, W) int32 component id at seed pixels.
+        grow_a: (H, W) float32 growth toward +x/+y at seed pixels.
+        grow_b: (H, W) float32 growth toward -x/-y at seed pixels.
+
+    Returns:
+        cover: (H, W) bool dilated set.
+        cover_comp: (H, W) int32 covering component id (-1 outside).
+    """
+    height, width = seed.shape
+    neg = jnp.float32(-3e9)
+
+    def axis_pass(active, acomp, a_bud, b_bud, axis):
+        pos = (
+            jnp.arange(active.shape[axis], dtype=jnp.float32)
+            .reshape((-1, 1) if axis == 0 else (1, -1))
+        )
+        pos = jnp.broadcast_to(pos, active.shape)
+        mf, (cf, af, bf) = _prefix_max_payload(
+            jnp.where(active, pos + a_bud, neg),
+            [acomp, a_bud, b_bud],
+            axis,
+            reverse=False,
+            fill=neg,
+        )
+        covered_f = mf >= pos
+        mb, (cb, ab, bb) = _prefix_max_payload(
+            jnp.where(active, b_bud - pos, neg),
+            [acomp, a_bud, b_bud],
+            axis,
+            reverse=True,
+            fill=neg,
+        )
+        covered_b = mb >= -pos
+        covered = covered_f | covered_b
+        ncomp = jnp.where(covered_f, cf, cb)
+        na = jnp.where(covered_f, af, ab)
+        nb = jnp.where(covered_f, bf, bb)
+        # Seeds of THIS pass always keep their own identity (see above).
+        ncomp = jnp.where(active, acomp, ncomp)
+        na = jnp.where(active, a_bud, na)
+        nb = jnp.where(active, b_bud, nb)
+        return covered, ncomp, na, nb
+
+    covered, ncomp, na, nb = axis_pass(seed, comp, grow_a, grow_b, axis=1)
+    covered, ncomp, _, _ = axis_pass(covered, ncomp, na, nb, axis=0)
+    return covered, jnp.where(covered, ncomp, -1)
+
+
+def _keyed_run_min(values, key, fg, sentinel, axis):
+    """Bidirectional min over maximal same-key foreground runs along axis."""
+
+    def one_direction(reverse):
+        prev_fg = _shift(fg.astype(jnp.int32), 1, axis, reverse, 0)
+        prev_key = _shift(key, 1, axis, reverse, -1)
+        head = (
+            (~fg).astype(jnp.int32)
+            | (1 - prev_fg)
+            | (prev_key != key).astype(jnp.int32)
+        )
+        v, f = values, head
+        distance = 1
+        size = values.shape[axis]
+        while distance < size:
+            vs = _shift(v, distance, axis, reverse, sentinel)
+            fs = _shift(f, distance, axis, reverse, 1)
+            v = jnp.where(f == 0, jnp.minimum(v, vs), v)
+            f = f | fs
+            distance *= 2
+        return v
+
+    best = jnp.minimum(one_direction(False), one_direction(True))
+    return jnp.where(fg, best, sentinel)
+
+
+@functools.partial(jax.jit, static_argnames=("num_sweeps", "check_convergence"))
+def label_blobs_keyed(mask, key, num_sweeps=8, check_convergence=False):
+    """8-connected blob labels within ``mask``, segmented by ``key``.
+
+    Two adjacent (8-neighborhood) mask pixels join a blob only when their
+    ``key`` values match — the labeling of several components' (possibly
+    interleaved) dilated sets in ONE plane, where each component's blobs
+    must stay independent. Row/column propagation uses keyed run scans
+    (a run breaks at background OR at a key change); diagonals use keyed
+    single steps.
+
+    Returns (H, W) int32 root-flat-index labels (sentinel at background);
+    with ``check_convergence`` a (labels, converged) tuple.
+    """
+    height, width = mask.shape
+    sentinel = height * width
+    idx = jnp.arange(sentinel, dtype=jnp.int32).reshape(height, width)
+    label = jnp.where(mask, idx, sentinel)
+
+    def diagonal_step(lab):
+        best = lab
+        for dy, dx in _DIAGONALS:
+            cand = _shift2(lab, dy, dx, sentinel)
+            cand = jnp.where(_shift2(key, dy, dx, -2) == key, cand, sentinel)
+            best = jnp.minimum(best, cand)
+        return jnp.where(mask, best, sentinel)
+
+    def sweep(lab):
+        lab = _keyed_run_min(lab, key, mask, sentinel, axis=1)
+        lab = _keyed_run_min(lab, key, mask, sentinel, axis=0)
+        return diagonal_step(lab)
+
+    if jax.default_backend() == "cpu":
+        out, _ = jax.lax.scan(
+            lambda lab, _: (sweep(lab), None), label, None, length=num_sweeps
+        )
+    else:
+        out = label
+        for _ in range(num_sweeps):
+            out = sweep(out)
+    if check_convergence:
+        final = sweep(out)
+        return final, jnp.all(final == out)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "check_convergence")
+)
+def label_components_8conn(
+    fg, num_sweeps=8, comp=None, check_convergence=False
+):
+    """8-connected component labels (cv2.findContours blob connectivity).
+
+    Same min-label propagation as :func:`label_components`, with one
+    diagonal-neighbor min step per sweep bridging the diagonal adjacencies
+    that the row/column run scans cannot cross. When ``comp`` is given
+    (an int32 plane of 4-connected component ids), diagonal bridging is
+    restricted to equal ``comp`` values: 4-adjacent foreground pixels
+    always share a 4-connected component, but DIAGONAL neighbors may not
+    — keying on ``comp`` keeps each component's sub-blob labeling
+    independent, exactly like the reference's per-component
+    ``findContours`` call (/root/reference/keras_ocr/detection.py:267).
+
+    Returns (H, W) int32 root-flat-index labels (sentinel at background);
+    with ``check_convergence`` a (labels, converged) tuple. The root of a
+    blob is its raster-first (topmost, then leftmost) pixel.
+    """
+    height, width = fg.shape
+    sentinel = height * width
+    idx = jnp.arange(sentinel, dtype=jnp.int32).reshape(height, width)
+    label = jnp.where(fg, idx, sentinel)
+    barrier = (~fg).astype(jnp.int32)
+
+    def diagonal_step(lab):
+        best = lab
+        for dy, dx in _DIAGONALS:
+            cand = _shift2(lab, dy, dx, sentinel)
+            if comp is not None:
+                cand = jnp.where(
+                    _shift2(comp, dy, dx, -1) == comp, cand, sentinel
+                )
+            best = jnp.minimum(best, cand)
+        return jnp.where(barrier == 1, sentinel, best)
+
+    def sweep(lab):
+        lab = segmented_min_sweeps(lab, barrier, sentinel, 1)
+        return diagonal_step(lab)
+
+    if jax.default_backend() == "cpu":
+        out, _ = jax.lax.scan(
+            lambda lab, _: (sweep(lab), None), label, None, length=num_sweeps
+        )
+    else:
+        out = label
+        for _ in range(num_sweeps):
+            out = sweep(out)
+    if check_convergence:
+        final = sweep(out)
+        return final, jnp.all(final == out)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_sweeps", "check_convergence")
+)
+def flood_from_seeds(mask, seeds, num_sweeps=8, check_convergence=False):
+    """4-connected reachability inside ``mask`` from ``seeds`` (both bool).
+
+    The background-flood primitive for hole semantics: with ``mask`` the
+    background of a blob plane and ``seeds`` its border-adjacent
+    background, the result marks the NON-hole background — exactly the
+    complement (within background) of what ``scipy.binary_fill_holes``
+    would fill. Returns (H, W) bool reached; with ``check_convergence`` a
+    (reached, converged) tuple.
+    """
+    height, width = mask.shape
+    sentinel = height * width
+    values = jnp.where(seeds & mask, 0, sentinel).astype(jnp.int32)
+    barrier = (~mask).astype(jnp.int32)
+    values = jnp.where(mask, values, sentinel)
+    out = segmented_min_sweeps(
+        values, barrier, sentinel, num_sweeps, check_convergence=check_convergence
+    )
+    if check_convergence:
+        out, converged = out
+        return (out == 0) & mask, converged
+    return (out == 0) & mask
+
+
 @functools.partial(jax.jit, static_argnames=("num_sweeps", "check_convergence"))
 def label_components(
     fg: jnp.ndarray, num_sweeps: int = 8, check_convergence: bool = False

@@ -51,7 +51,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .cc import compact_labels, label_components
+from .cc import (
+    brushfire_dilate,
+    compact_labels,
+    label_blobs_keyed,
+    label_components,
+)
 
 
 @functools.partial(
@@ -94,17 +99,27 @@ def get_boxes(
         boxes: (B, max_components, 4, 2) float32 corners in input-image
             coordinates (heatmap coords x2), clockwise, min-(x+y) first.
         mask: (B, max_components) bool validity.
-        num_components: (B,) int32 TOTAL thresholded components found per
-            image (before the ``max_components`` capacity drop) — when this
-            exceeds ``max_components``, components were silently dropped in
-            raster order and the caller should rerun with a bigger cap
-            (the reference's host loop has no cap, detection.py:227-285).
-        converged: (B,) bool — the labeling propagation provably reached
-            its fixpoint (cv2.connectedComponentsWithStats is always
-            exact, detection.py:227-229). False means a pathological
-            (serpentine) component needed more than ``num_sweeps`` sweeps
-            and may have been SPLIT; the caller should rerun with a
-            doubled ``num_sweeps``.
+        diag: dict of per-image diagnostics driving the caller's
+            escalation ladder:
+            - ``n_components`` (B,) int32: TOTAL thresholded components
+              found (before the ``max_components`` capacity drop) — when
+              this exceeds ``max_components``, components were silently
+              dropped in raster order and the caller should rerun with a
+              bigger cap (the reference's host loop has no cap,
+              detection.py:227-285).
+            - ``converged`` (B,) bool: the labeling propagation provably
+              reached its fixpoint (cv2.connectedComponentsWithStats is
+              always exact, detection.py:227-229). False means a
+              pathological (serpentine) component needed more than
+              ``num_sweeps`` sweeps and may have been SPLIT; rerun with a
+              doubled ``num_sweeps``.
+            - ``n_multiblob`` (B,) int32: excess 8-connected blobs across
+              all valid components' DILATED segmaps (total blobs minus
+              component count). 0 proves every component's dilated
+              segmap is one blob and the analytic whole-set rectangle
+              equals the reference's ``contours[0]`` fit
+              (detection.py:267-273); > 0 means the caller should rerun
+              through :func:`keras_ocr_tpu.ops.refine.refine_boxes`.
     """
 
     def single(hm):
@@ -125,18 +140,20 @@ def get_boxes(
 _BIG = jnp.float32(1e30)
 
 
-def _row_tables(ids2d, num_segments, extras=()):
+def _row_tables(ids2d, num_segments, extras=(), extra_sums=()):
     """Per-(row, segment) staircase tables via one-hot masked reduces.
 
     Args:
         ids2d: (H, W) int32 segment id per pixel.
         num_segments: static segment count S.
         extras: additional (H, W) float maps to row-max per segment.
+        extra_sums: additional (H, W) float maps to row-SUM per segment.
 
     Returns:
         count: (H, S) float32 per-row pixel counts,
         xmin, xmax: (H, S) float32 per-row column extents (+-_BIG if absent),
-        extra_maxs: list of (H, S) row-maxima for each extra map.
+        extra_maxs: list of (H, S) row-maxima for each extra map,
+        extra_sum_tables: list of (H, S) row-sums for each extra_sums map.
     """
     height, width = ids2d.shape
     iota = jnp.arange(num_segments, dtype=ids2d.dtype)
@@ -149,7 +166,11 @@ def _row_tables(ids2d, num_segments, extras=()):
         jnp.max(jnp.where(onehot, extra[:, :, None], -_BIG), axis=1)
         for extra in extras
     ]
-    return count, xmin, xmax, extra_maxs
+    extra_sum_tables = [
+        jnp.sum(jnp.where(onehot, extra[:, :, None], 0.0), axis=1)
+        for extra in extra_sums
+    ]
+    return count, xmin, xmax, extra_maxs, extra_sum_tables
 
 
 def _row_reduce(present, values, reducer, fill):
@@ -157,16 +178,90 @@ def _row_reduce(present, values, reducer, fill):
     return reducer(jnp.where(present, values, fill), axis=0)
 
 
-def _get_boxes_single(
+def boxes_from_bank_extents(umin, umax, vmin, vmax, cos_k, sin_k, bl, bt, br, bb):
+    """Directional extents -> min-area rectangles, reference-ordered.
+
+    Args:
+        umin/umax/vmin/vmax: (C, K) extents of each pixel set along the
+            angle bank's (u, v) = (x cos + y sin, -x sin + y cos) axes.
+        cos_k/sin_k: (K,) the bank directions.
+        bl/bt/br/bb: (C,) axis-aligned bbox of each pixel set, for the
+            reference's near-square "diamond" fallback
+            (/root/reference/keras_ocr/detection.py:276-281).
+
+    Returns:
+        (C, 4, 2) float32 corners, cyclic, min-(x+y) corner first
+        (detection.py:284).
+    """
+    rect_w = umax - umin  # (C, K)
+    rect_h = vmax - vmin
+    rect_area = rect_w * rect_h
+    best = jnp.argmin(rect_area, axis=1)  # (C,)
+
+    def pick(arr):
+        return jnp.take_along_axis(arr, best[:, None], axis=1)[:, 0]
+
+    umin_b, umax_b = pick(umin), pick(umax)
+    vmin_b, vmax_b = pick(vmin), pick(vmax)
+    cos_t = cos_k[best]
+    sin_t = sin_k[best]
+    rw = umax_b - umin_b
+    rh = vmax_b - vmin_b
+
+    ratio = jnp.maximum(rw, rh) / (jnp.minimum(rw, rh) + 1e-5)
+    diamond = jnp.abs(1.0 - ratio) <= 0.1
+
+    # Rotated-rect corners (cyclic order).
+    corners_u = jnp.stack([umin_b, umax_b, umax_b, umin_b], 1)  # (C, 4)
+    corners_v = jnp.stack([vmin_b, vmin_b, vmax_b, vmax_b], 1)
+    rot_x = corners_u * cos_t[:, None] - corners_v * sin_t[:, None]
+    rot_y = corners_u * sin_t[:, None] + corners_v * cos_t[:, None]
+
+    dia_x = jnp.stack([bl, br, br, bl], 1)
+    dia_y = jnp.stack([bt, bt, bb, bb], 1)
+
+    box_x = jnp.where(diamond[:, None], dia_x, rot_x)
+    box_y = jnp.where(diamond[:, None], dia_y, rot_y)
+    boxes = jnp.stack([box_x, box_y], axis=-1)  # (C, 4, 2)
+
+    # Roll so the min-(x+y) corner comes first, preserving cyclic order.
+    start = jnp.argmin(box_x + box_y, axis=1)  # (C,)
+    gather_idx = (start[:, None] + jnp.arange(4)[None, :]) % 4
+    return jnp.take_along_axis(boxes, gather_idx[..., None], axis=1)
+
+
+def component_analysis(
     hm,
     detection_threshold,
     text_threshold,
     link_threshold,
     size_threshold,
     max_components,
-    num_angles,
     num_sweeps=8,
+    per_component_census=False,
 ):
+    """Shared per-component analysis for tier-1 :func:`get_boxes` and the
+    tier-2 windowed refinement (:mod:`keras_ocr_tpu.ops.refine`).
+
+    Returns a dict of planes ((H, W)), per-component ((C,)) stats, and
+    per-row staircase tables: ``comp``, ``overlap``, ``segmask``,
+    ``n_total``, ``converged``, ``area``,
+    ``xmin``/``xmax``/``ymin``/``ymax`` (full component bbox), ``tmax``,
+    ``valid0`` (area+confidence filters, before the nonempty-segmap
+    check), dilation geometry ``niter``/``a``/``b``, segmap tables
+    ``cnt_seg_r``/``xmin_seg_r``/``xmax_seg_r`` and ``n_seg``, and the
+    contours[0] multi-blob census:
+
+    * ``census_excess`` (scalar int32): total 8-connected blobs of all
+      VALID components' dilated segmaps minus the valid component count.
+      Each component contributes >= 1 blob, so 0 proves every valid
+      component's dilated segmap is ONE blob (tier 1's whole-set fit is
+      exact) and > 0 means some component needs the tier-2 contours[0]
+      treatment — the cheap per-image trigger.
+    * ``n_dilblobs`` ((C,), only with ``per_component_census=True``): the
+      per-component blob counts tier 2 uses to pick WHICH components to
+      refine (an extra (H, W, C) reduction kept off the tier-1 hot path).
+    """
     height, width = hm.shape[0], hm.shape[1]
     num_segments = max_components + 1  # last segment = dumped pixels
 
@@ -186,21 +281,21 @@ def _get_boxes_single(
 
     # Segment ids for the overlap-removed segmap (detection.py:244-246).
     overlap = link_score & text_score
+    segmask = fg & ~overlap
     seg2d = jnp.where(overlap, max_components, comp)
 
     rows = jnp.arange(height, dtype=jnp.float32)[:, None]
 
     # ---- per-row staircase tables (the only O(H*W*S) reductions) ----
-    cnt_full_r, xmin_full_r, xmax_full_r, (tmax_r,) = _row_tables(
+    cnt_full_r, xmin_full_r, xmax_full_r, (tmax_r,), _ = _row_tables(
         comp, num_segments, extras=(textmap,)
     )
-    cnt_seg_r, xmin_seg_r, xmax_seg_r, _ = _row_tables(seg2d, num_segments)
+    cnt_seg_r, xmin_seg_r, xmax_seg_r, _, _ = _row_tables(seg2d, num_segments)
+    n_seg = cnt_seg_r.sum(axis=0)[:-1]
     present_full = cnt_full_r > 0  # (H, S)
-    present_seg = cnt_seg_r > 0
 
     # ---- areas (filters + dilation radius) ----
     area = cnt_full_r.sum(axis=0)[:-1]
-    n_seg = cnt_seg_r.sum(axis=0)[:-1]
 
     # ---- full-component extents + peak text confidence ----
     xmin = xmin_full_r.min(axis=0)[:-1]
@@ -210,7 +305,7 @@ def _get_boxes_single(
     tmax = tmax_r.max(axis=0)[:-1]
     bw = xmax - xmin + 1.0
     bh = ymax - ymin + 1.0
-    valid = (area >= size_threshold) & (tmax >= detection_threshold)
+    valid0 = (area >= size_threshold) & (tmax >= detection_threshold)
 
     # Dilation kernel geometry (detection.py:258-264): square side 1+niter
     # with cv2 anchor at (1+niter)//2. dst(x) = max over src(x + o),
@@ -220,6 +315,107 @@ def _get_boxes_single(
     k = 1.0 + niter
     a = jnp.floor(k / 2.0)
     b = k - 1.0 - a
+
+    # ---- dilated-blob census (the contours[0] multi-blob flag) ----
+    # The reference rect-fits only ``contours[0]`` of each component's
+    # DILATED segmap (detection.py:267-273). Overlap removal routinely
+    # splits a word's segmap into per-character islands that dilation
+    # re-merges, so the flag must count blobs of the dilated set, not the
+    # segmap: one brushfire dilation of all VALID components in one plane
+    # (per-component budgets), then keyed blob labeling. Both inter-
+    # component contention and labeling under-convergence only ever
+    # OVER-count a component's blobs (see brushfire_dilate), so the flag
+    # is conservative (never misses a true multi-blob) without gating on
+    # a convergence proof; flagged components get the exact per-component
+    # windowed treatment in ops/refine.py.
+    iota_seg = jnp.arange(num_segments, dtype=jnp.int32)
+    valid_ext = jnp.concatenate([valid0, jnp.zeros((1,), bool)])
+    budgets = jnp.stack(
+        [
+            jnp.concatenate([a, jnp.zeros((1,), a.dtype)]),
+            jnp.concatenate([b, jnp.zeros((1,), b.dtype)]),
+            valid_ext.astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (S, 3)
+    onehot_px = (comp[..., None] == iota_seg).astype(jnp.float32)  # (H, W, S)
+    grow = jnp.einsum("hws,st->hwt", onehot_px, budgets)  # (H, W, 3)
+    seeds = segmask & (grow[..., 2] > 0.5)  # valid comps only
+    cover, cover_comp = brushfire_dilate(
+        seeds, comp, grow[..., 0], grow[..., 1]
+    )
+    dil_label = label_blobs_keyed(cover, cover_comp, num_sweeps=num_sweeps)
+    flat_idx = jnp.arange(height * width, dtype=jnp.int32).reshape(height, width)
+    is_dilroot = (dil_label == flat_idx) & cover
+    n_valid = jnp.sum((valid0 & (n_seg > 0)).astype(jnp.int32))
+    census_excess = jnp.sum(is_dilroot.astype(jnp.int32)) - n_valid
+    analysis = {
+        "comp": comp,
+        "overlap": overlap,
+        "segmask": segmask,
+        "n_total": n_total,
+        "converged": converged,
+        "census_excess": census_excess,
+        "area": area,
+        "xmin": xmin,
+        "xmax": xmax,
+        "ymin": ymin,
+        "ymax": ymax,
+        "tmax": tmax,
+        "valid0": valid0,
+        "niter": niter,
+        "a": a,
+        "b": b,
+        "cnt_seg_r": cnt_seg_r,
+        "xmin_seg_r": xmin_seg_r,
+        "xmax_seg_r": xmax_seg_r,
+        "n_seg": n_seg,
+    }
+    if per_component_census:
+        dil_onehot = (
+            jnp.where(cover, cover_comp, max_components)[..., None] == iota_seg
+        )
+        analysis["n_dilblobs"] = jnp.sum(
+            (dil_onehot & is_dilroot[..., None]).astype(jnp.float32),
+            axis=(0, 1),
+        )[:-1]
+    return analysis
+
+
+def _get_boxes_single(
+    hm,
+    detection_threshold,
+    text_threshold,
+    link_threshold,
+    size_threshold,
+    max_components,
+    num_angles,
+    num_sweeps=8,
+):
+    height, width = hm.shape[0], hm.shape[1]
+    num_segments = max_components + 1  # last segment = dumped pixels
+
+    analysis = component_analysis(
+        hm,
+        detection_threshold,
+        text_threshold,
+        link_threshold,
+        size_threshold,
+        max_components,
+        num_sweeps=num_sweeps,
+    )
+    n_total = analysis["n_total"]
+    converged = analysis["converged"]
+    valid = analysis["valid0"]
+    a = analysis["a"]
+    b = analysis["b"]
+
+    rows = jnp.arange(height, dtype=jnp.float32)[:, None]
+    cnt_seg_r = analysis["cnt_seg_r"]
+    xmin_seg_r = analysis["xmin_seg_r"]
+    xmax_seg_r = analysis["xmax_seg_r"]
+    present_seg = cnt_seg_r > 0
+    n_seg = analysis["n_seg"]
 
     # ---- segmap extents along the static angle bank ----
     # For a in [0, 90): cos a >= 0 and sin a >= 0, so within one row
@@ -264,48 +460,22 @@ def _get_boxes_single(
     vmax = jnp.max(jnp.where(p3, -xg_lo * sin_a + yg_hi * cos_a, -_BIG), axis=0)[:-1]
     vmin = jnp.min(jnp.where(p3, -xg_hi * sin_a + yg_lo * cos_a, _BIG), axis=0)[:-1]
 
-    rect_w = umax - umin  # (C, K)
-    rect_h = vmax - vmin
-    rect_area = rect_w * rect_h
-    best = jnp.argmin(rect_area, axis=1)  # (C,)
-
-    def pick(arr):
-        return jnp.take_along_axis(arr, best[:, None], axis=1)[:, 0]
-
-    umin_b, umax_b = pick(umin), pick(umax)
-    vmin_b, vmax_b = pick(vmin), pick(vmax)
-    cos_t = cos_k[best]
-    sin_t = sin_k[best]
-    rw = umax_b - umin_b
-    rh = vmax_b - vmin_b
-
-    ratio = jnp.maximum(rw, rh) / (jnp.minimum(rw, rh) + 1e-5)
-    diamond = jnp.abs(1.0 - ratio) <= 0.1
-
-    # Rotated-rect corners (cyclic order).
-    corners_u = jnp.stack([umin_b, umax_b, umax_b, umin_b], 1)  # (C, 4)
-    corners_v = jnp.stack([vmin_b, vmin_b, vmax_b, vmax_b], 1)
-    rot_x = corners_u * cos_t[:, None] - corners_v * sin_t[:, None]
-    rot_y = corners_u * sin_t[:, None] + corners_v * cos_t[:, None]
-
-    # Diamond fallback: exact bbox of the dilated segmap (detection.py:276-281).
+    # Diamond-fallback bbox: exact bbox of the dilated segmap
+    # (detection.py:276-281).
     dl = jnp.maximum(sxmin - b, 0.0)
     dt = jnp.maximum(symin - b, 0.0)
     dr = jnp.minimum(sxmax + a, width - 1.0)
     db = jnp.minimum(symax + a, height - 1.0)
-    dia_x = jnp.stack([dl, dr, dr, dl], 1)
-    dia_y = jnp.stack([dt, dt, db, db], 1)
-
-    box_x = jnp.where(diamond[:, None], dia_x, rot_x)
-    box_y = jnp.where(diamond[:, None], dia_y, rot_y)
-    boxes = jnp.stack([box_x, box_y], axis=-1)  # (C, 4, 2)
-
-    # Roll so the min-(x+y) corner comes first, preserving cyclic order
-    # (detection.py:284).
-    start = jnp.argmin(box_x + box_y, axis=1)  # (C,)
-    gather_idx = (start[:, None] + jnp.arange(4)[None, :]) % 4
-    boxes = jnp.take_along_axis(boxes, gather_idx[..., None], axis=1)
+    boxes = boxes_from_bank_extents(
+        umin, umax, vmin, vmax, cos_k, sin_k, dl, dt, dr, db
+    )
 
     valid = valid & (n_seg > 0)
     boxes = jnp.where(valid[:, None, None], boxes * 2.0, 0.0)
-    return boxes.astype(jnp.float32), valid, n_total, converged
+    n_multiblob = analysis["census_excess"]
+    diag = {
+        "n_components": n_total,
+        "converged": converged,
+        "n_multiblob": n_multiblob,
+    }
+    return boxes.astype(jnp.float32), valid, diag

@@ -232,15 +232,47 @@ def warp_boxes(
     return crops.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("target_height", "target_width"))
+# Source-window escalation ladder for the fused pipeline: quads whose
+# padded AABB exceeds the current (height, width) window go through the
+# antialiased downscale (see module docstring); the pipeline detects the
+# overflow on device and relaunches at the next rung so the common case
+# stays bit-exact without paying the big window's memory. At the ladder
+# top the (measured, tests/test_warp.py) mildly-antialiased downscale is
+# accepted: words wider than 2048 px exceed anything the 31x200
+# recognizer input meaningfully resolves.
+WINDOW_LADDER = ((64, 512), (128, 1024), (256, 2048))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target_height", "target_width", "window_height", "window_width"),
+)
 def warp_boxes_batch(
     images: jnp.ndarray,
     boxes: jnp.ndarray,
     target_height: int = 31,
     target_width: int = 200,
+    window_height: int = 64,
+    window_width: int = 512,
 ) -> jnp.ndarray:
     """(B, H, W[, C]) images x (B, N, 4, 2) boxes -> (B, N, th, tw[, C])."""
     fn = functools.partial(
-        warp_boxes, target_height=target_height, target_width=target_width
+        warp_boxes,
+        target_height=target_height,
+        target_width=target_width,
+        window_height=window_height,
+        window_width=window_width,
     )
     return jax.vmap(fn)(images, boxes)
+
+
+def window_overflow(boxes: jnp.ndarray, mask: jnp.ndarray, window_height: int, window_width: int):
+    """(B, N, 4, 2) boxes + validity -> (B,) bool: any valid quad's padded
+    AABB exceeds the static source window (the warp_boxes downscale
+    trigger; same +3 px padding as warp_boxes)."""
+    bx = boxes[..., 0]
+    by = boxes[..., 1]
+    src_w = jnp.ceil(bx.max(-1)) - jnp.floor(bx.min(-1)) + 3.0
+    src_h = jnp.ceil(by.max(-1)) - jnp.floor(by.min(-1)) + 3.0
+    over = (src_w > window_width) | (src_h > window_height)
+    return jnp.any(over & mask, axis=-1)

@@ -106,6 +106,8 @@ class Pipeline:
             "truncated_images": 0,
             "component_escalations": 0,
             "sweep_escalations": 0,
+            "refine_escalations": 0,
+            "warp_escalations": 0,
         }
         self.size_bucket = size_bucket
         self.pad_to = pad_to
@@ -158,6 +160,8 @@ class Pipeline:
                 "max_words",
                 "resize_to",
                 "num_sweeps",
+                "refine_level",
+                "warp_level",
             ),
         )
 
@@ -174,8 +178,11 @@ class Pipeline:
         max_words,
         resize_to=None,  # static (H', W'): upscale on device (x`scale`)
         num_sweeps=detection_mod.DEFAULT_NUM_SWEEPS,
+        refine_level=0,  # static: 1-based index into ops.refine.LADDER
+        warp_level=0,  # static: index into ops.warp.WINDOW_LADDER
     ):
         from ..ops.image import resize_bilinear
+        from ..ops.warp import WINDOW_LADDER, window_overflow
 
         images = images.astype(jnp.float32)
         if resize_to is not None:
@@ -194,7 +201,7 @@ class Pipeline:
             heatmaps = jax.lax.with_sharding_constraint(
                 heatmaps, self._batch_sharding
             )
-        boxes, mask, ncomp, converged = postprocess_ops.get_boxes(
+        boxes, mask, diag = postprocess_ops.get_boxes(
             heatmaps,
             detection_threshold=detection_threshold,
             text_threshold=text_threshold,
@@ -203,10 +210,44 @@ class Pipeline:
             max_components=max_components,
             num_sweeps=num_sweeps,
         )
+        ncomp = diag["n_components"]
+        converged = diag["converged"]
+        if refine_level > 0:
+            # contours[0] tier-2 pass fused into the same program (XLA
+            # CSEs the repeated component analysis); signal = proofs still
+            # failing at this ladder level.
+            from ..ops import refine as refine_ops
+
+            wh, ww, md, it, rc = refine_ops.LADDER[refine_level - 1]
+            boxes, refine_ok, _ = refine_ops.refine_boxes(
+                heatmaps,
+                boxes,
+                detection_threshold=detection_threshold,
+                text_threshold=text_threshold,
+                link_threshold=link_threshold,
+                size_threshold=size_threshold,
+                max_components=max_components,
+                num_sweeps=num_sweeps,
+                refine_cap=rc,
+                window_h=wh,
+                window_w=ww,
+                max_dilate=md,
+                num_iters=it,
+            )
+            refine_signal = ~refine_ok
+        else:
+            refine_signal = diag["n_multiblob"] > 0
         # Compact valid boxes into the first max_words slots (stable order).
         order = jnp.argsort(~mask, axis=1, stable=True)[:, :max_words]  # (B, W)
         boxes_c = jnp.take_along_axis(boxes, order[..., None, None], axis=1)
         mask_c = jnp.take_along_axis(mask, order, axis=1)
+
+        win_h, win_w = WINDOW_LADDER[warp_level]
+        warp_signal = (
+            window_overflow(boxes_c, mask_c, win_h, win_w)
+            if warp_level < len(WINDOW_LADDER) - 1
+            else jnp.zeros(boxes_c.shape[0], bool)
+        )
 
         height, width, channels = self.recognizer.input_shape
         if channels == 1:
@@ -215,12 +256,14 @@ class Pipeline:
             # rgb_to_grayscale already applies cv2's uint8 quantization.
             source = jnp.clip(rgb_to_grayscale(images), 0, 255)
             crops = warp_boxes_batch(
-                source, boxes_c, target_height=height, target_width=width
+                source, boxes_c, target_height=height, target_width=width,
+                window_height=win_h, window_width=win_w,
             )  # (B, W, h, w)
             crops = (crops / 255.0)[..., None]
         else:
             crops = warp_boxes_batch(
-                images, boxes_c, target_height=height, target_width=width
+                images, boxes_c, target_height=height, target_width=width,
+                window_height=win_h, window_width=win_w,
             )  # (B, W, h, w, 3)
             crops = crops / 255.0
         batch, words = crops.shape[0], crops.shape[1]
@@ -232,10 +275,18 @@ class Pipeline:
         # Pack everything into ONE output array so the host needs a single
         # fetch (each fetch pays a full RPC round trip on tunneled TPUs).
         # Values are small ints / coords, exactly representable in fp32.
-        # Second-to-last column = total thresholded components found
-        # (broadcast per image) so the host can escalate max_components on
-        # overflow; last column = labeling-convergence proof so the host
-        # can escalate num_sweeps (1 = converged).
+        # Trailing per-image columns (broadcast over word slots) drive the
+        # host escalation ladder: [-2] total thresholded components found
+        # (escalate max_components on overflow); [-1] a bitmask of proof
+        # flags: +1 labeling converged (else escalate num_sweeps),
+        # +2 contours[0] refinement pending/failing (escalate
+        # refine_level), +4 a word crop overflowed the warp source window
+        # (escalate warp_level).
+        flags = (
+            converged.astype(jnp.float32)
+            + 2.0 * refine_signal.astype(jnp.float32)
+            + 4.0 * warp_signal.astype(jnp.float32)
+        )
         packed = jnp.concatenate(
             [
                 boxes_c.reshape(batch, words, 8),
@@ -245,7 +296,7 @@ class Pipeline:
                     ncomp.astype(jnp.float32)[:, None, None], (batch, words, 1)
                 ),
                 jnp.broadcast_to(
-                    converged.astype(jnp.float32)[:, None, None], (batch, words, 1)
+                    flags[:, None, None], (batch, words, 1)
                 ),
             ],
             axis=-1,
@@ -339,7 +390,7 @@ class Pipeline:
 
     def _launch(
         self, device_batch, detection_kwargs, bucket, resize_to, components,
-        sweeps=detection_mod.DEFAULT_NUM_SWEEPS,
+        sweeps=detection_mod.DEFAULT_NUM_SWEEPS, refine_level=0, warp_level=0,
     ):
         """Asynchronously dispatch the fused program at one word bucket."""
         return self._fused(
@@ -356,6 +407,8 @@ class Pipeline:
             max_words=bucket,
             resize_to=resize_to,
             num_sweeps=sweeps,
+            refine_level=refine_level,
+            warp_level=warp_level,
         )
 
     def _fetch_escalating(
@@ -388,16 +441,24 @@ class Pipeline:
         )
         packed = np.asarray(packed_dev)[:num_real]
         from ..detection import MAX_COMPONENTS_CEILING, MAX_SWEEPS_CEILING
+        from ..ops.refine import LADDER as REFINE_LADDER
+        from ..ops.warp import WINDOW_LADDER
 
-        # Labeling convergence first (last packed column): an unconverged
-        # sweep count may SPLIT serpentine components, which both corrupts
-        # boxes and overcounts ncomp — so it must be resolved before the
+        def flag_bits(bit):
+            """Any image whose flags column (packed [-1], a bitmask) has
+            ``bit`` set (bit 1 is inverted: it means converged)."""
+            if not len(packed):
+                return False
+            flags = packed[:, 0, -1].astype(int)
+            if bit == 1:
+                return bool(((flags & 1) == 0).any())
+            return bool((flags & bit).any())
+
+        # Labeling convergence first (flags bit 1): an unconverged sweep
+        # count may SPLIT serpentine components, which both corrupts boxes
+        # and overcounts ncomp — so it must be resolved before the
         # component-overflow check reads ncomp.
-        while (
-            len(packed)
-            and float(packed[:, 0, -1].min()) < 0.5
-            and sweeps < MAX_SWEEPS_CEILING
-        ):
+        while flag_bits(1) and sweeps < MAX_SWEEPS_CEILING:
             sweeps = min(sweeps * 2, MAX_SWEEPS_CEILING)
             self._num_sweeps = max(self._num_sweeps, sweeps)
             self.last_run_stats["sweep_escalations"] += 1
@@ -407,7 +468,7 @@ class Pipeline:
                     components, sweeps,
                 )
             )[:num_real]
-        if len(packed) and float(packed[:, 0, -1].min()) < 0.5:
+        if flag_bits(1):
             warnings.warn(
                 f"component labeling did not converge within "
                 f"{MAX_SWEEPS_CEILING} sweeps; serpentine components may "
@@ -416,10 +477,10 @@ class Pipeline:
                 stacklevel=3,
             )
         # Component overflow: the kernel reports the TOTAL components it
-        # found (second-to-last packed column); if that exceeds the cap it
-        # labeled with, components were dropped in raster order — rerun
-        # with a doubled cap (sticky, one extra cached compile per cap) so
-        # busy scenes keep reference-equivalent recall.
+        # found (column -2); if that exceeds the cap it labeled with,
+        # components were dropped in raster order — rerun with a doubled
+        # cap (sticky, one extra cached compile per cap) so busy scenes
+        # keep reference-equivalent recall.
         while (
             len(packed)
             and int(packed[:, 0, -2].max()) > components
@@ -441,6 +502,43 @@ class Pipeline:
                 self._launch(
                     device_batch, detection_kwargs, bucket, resize_to,
                     components, sweeps,
+                )
+            )[:num_real]
+        # contours[0] refinement (flags bit 2): a multi-blob component's
+        # tier-1 whole-set rectangle may differ from the reference's
+        # contours[0] fit — rerun with the fused tier-2 pass, escalating
+        # its window/iteration ladder until its proofs hold.
+        refine_level = 0
+        warp_level = 0
+        while flag_bits(2) and refine_level < len(REFINE_LADDER):
+            refine_level += 1
+            self.last_run_stats["refine_escalations"] += 1
+            packed = np.asarray(
+                self._launch(
+                    device_batch, detection_kwargs, bucket, resize_to,
+                    components, sweeps, refine_level, warp_level,
+                )
+            )[:num_real]
+        if flag_bits(2):
+            warnings.warn(
+                "contours[0] refinement incomplete at the ladder top; "
+                "multi-blob component boxes may be supersets. Use "
+                "Detector.detect(use_device_postprocess=False) for this "
+                "image.",
+                stacklevel=3,
+            )
+        # Warp-window overflow (flags bit 4): a word crop wider/taller
+        # than the warp source window would go through the antialiased
+        # downscale — rerun with the next window rung so the crop stays
+        # bit-exact vs the reference's warpBox (ops/warp.py WINDOW_LADDER;
+        # the top rung accepts the measured mildly-lossy downscale).
+        while flag_bits(4) and warp_level < len(WINDOW_LADDER) - 1:
+            warp_level += 1
+            self.last_run_stats["warp_escalations"] += 1
+            packed = np.asarray(
+                self._launch(
+                    device_batch, detection_kwargs, bucket, resize_to,
+                    components, sweeps, refine_level, warp_level,
                 )
             )[:num_real]
         saturated = int((packed[..., 8] > 0.5).all(axis=1).sum()) if len(packed) else 0
@@ -503,6 +601,8 @@ class Pipeline:
             "truncated_images": 0,
             "component_escalations": 0,
             "sweep_escalations": 0,
+            "refine_escalations": 0,
+            "warp_escalations": 0,
         }
         if recognition_kwargs:
             return self._recognize_two_stage(
@@ -584,6 +684,8 @@ class Pipeline:
             "truncated_images": 0,
             "component_escalations": 0,
             "sweep_escalations": 0,
+            "refine_escalations": 0,
+            "warp_escalations": 0,
         }
         if not isinstance(images, (list, tuple)):
             images = list(images)
@@ -676,6 +778,22 @@ class Pipeline:
         detection_kwargs = dict(detection_kwargs or {})
         max_words = max_words or self.max_words
         resize_to = (height * self.scale, width * self.scale)
+        # The artifact is static (no escalation relaunches), so pick the
+        # warp-window rung that fits ANY box the envelope can produce —
+        # every crop then takes the bit-exact slice path, matching what
+        # the live pipeline's warp_level escalation converges to. (The
+        # artifact serves tier-1 contours[0] semantics: the rare
+        # multi-blob refinement needs the dynamic ladder.)
+        from ..ops.warp import WINDOW_LADDER
+
+        warp_level = next(
+            (
+                level
+                for level, (wh, ww) in enumerate(WINDOW_LADDER)
+                if wh >= resize_to[0] + 3 and ww >= resize_to[1] + 3
+            ),
+            len(WINDOW_LADDER) - 1,
+        )
 
         def serve(images):
             return self._device_pipeline(
@@ -689,6 +807,7 @@ class Pipeline:
                 max_components=self.detector.max_components,
                 max_words=max_words,
                 resize_to=resize_to,
+                warp_level=warp_level,
             )
 
         spec = jax.ShapeDtypeStruct((batch_size, height, width, 3), jnp.uint8)

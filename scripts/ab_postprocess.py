@@ -45,6 +45,7 @@ from keras_ocr_tpu import detection, evaluation
 from keras_ocr_tpu.data import generation
 from keras_ocr_tpu.data.detection_targets import compute_maps
 from keras_ocr_tpu.ops import postprocess as postprocess_ops
+from keras_ocr_tpu.ops import refine as refine_ops
 
 
 def synthetic_scene_heatmaps(n_scenes, height=256, width=320, seed=0):
@@ -111,6 +112,30 @@ def bump_heatmaps(n_maps, seed=0):
     return heatmaps
 
 
+def multiblob_heatmaps(n_maps, seed=0):
+    """Words whose segmap splits into islands that dilation does NOT
+    re-merge (text islands joined by an overlap bridge, gap > dilation
+    radius) — the population where the reference's ``contours[0]`` pick
+    diverges from a whole-set fit. Exercises the tier-2 refinement."""
+    rng = np.random.RandomState(seed)
+    heatmaps = []
+    for _ in range(n_maps):
+        height = int(rng.choice([96, 128]))
+        width = int(rng.choice([128, 192]))
+        text = np.zeros((height, width), "float32")
+        link = np.zeros_like(text)
+        for _ in range(rng.randint(1, 4)):
+            y = rng.randint(8, height - 16)
+            x = rng.randint(6, width - 64)
+            gap = rng.randint(14, 30)
+            text[y : y + 6, x : x + 7] = 0.95
+            text[y : y + 6, x + 7 + gap : x + 14 + gap] = 0.9
+            text[y + 2 : y + 4, x + 7 : x + 7 + gap] = 0.45
+            link[y + 2 : y + 4, x + 6 : x + 8 + gap] = 0.5
+        heatmaps.append(np.stack([text, link], -1))
+    return heatmaps
+
+
 def count_multiblob_segmaps(hm):
     """How many surviving components split into >1 blob after dilation.
 
@@ -147,11 +172,25 @@ def run_population(name, heatmaps, results):
     true_annotations = {}
     predictions = {}
     split = total = 0
+    extent_mismatch_boxes = 0
+    refined_images = 0
     for index, hm in enumerate(heatmaps):
         host = detection.getBoxes(hm[None])[0]
-        boxes, mask, _, _ = postprocess_ops.get_boxes(
+        boxes, mask, diag = postprocess_ops.get_boxes(
             jnp.asarray(hm[None]), max_components=128
         )
+        # The production escalation: flagged multi-blob components get the
+        # tier-2 contours[0] refinement (as Detector.detect does).
+        if int(np.asarray(diag["n_multiblob"])[0]) > 0:
+            refined_images += 1
+            for wh, ww, md, it, rc in refine_ops.LADDER:
+                boxes, ok, _ = refine_ops.refine_boxes(
+                    jnp.asarray(hm[None]), boxes, max_components=128,
+                    refine_cap=rc, window_h=wh, window_w=ww,
+                    max_dilate=md, num_iters=it,
+                )
+                if bool(np.asarray(ok)[0]):
+                    break
         device = detection.boxes_from_mask(boxes, mask)[0]
         s, t = count_multiblob_segmaps(hm)
         split += s
@@ -164,10 +203,21 @@ def run_population(name, heatmaps, results):
         ]
         predictions[key] = [{"text": "word", "vertices": b} for b in device]
         for hb in host:
-            best = 0.0
+            best, best_db = 0.0, None
             for db in device:
-                best = max(best, evaluation.iou_score(hb, db))
+                iou = evaluation.iou_score(hb, db)
+                if iou >= best:
+                    best, best_db = iou, db
             ious.append(best)
+            # Extent mismatch: matched device box's axis-aligned extents
+            # differ from the host oracle's by more than the angle-bank
+            # tolerance (the VERDICT r2 acceptance signal).
+            if best_db is None or np.abs(
+                np.concatenate([
+                    best_db.min(0) - hb.min(0), best_db.max(0) - hb.max(0)
+                ])
+            ).max() > 2.5:
+                extent_mismatch_boxes += 1
     _, (precision, recall) = evaluation.score(
         true=true_annotations, pred=predictions
     )
@@ -183,6 +233,8 @@ def run_population(name, heatmaps, results):
         "protocol_recall_vs_host": float(recall),
         "multiblob_segmaps": split,
         "surviving_components": total,
+        "refined_images": refined_images,
+        "extent_mismatch_boxes": extent_mismatch_boxes,
     }
     return results
 
@@ -199,6 +251,9 @@ def main():
         "gt_maps", synthetic_scene_heatmaps(args.scenes), results
     )
     run_population("bump_maps", bump_heatmaps(args.bumps), results)
+    run_population(
+        "multiblob_maps", multiblob_heatmaps(args.bumps), results
+    )
     print(json.dumps(results, indent=2))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)

@@ -80,7 +80,7 @@ def main():
 
     def _boxes(images):
         images, heatmaps = _front(images)
-        boxes, mask, _, _ = postprocess_ops.get_boxes(heatmaps, max_components=max_components)
+        boxes, mask, _ = postprocess_ops.get_boxes(heatmaps, max_components=max_components)
         order = jnp.argsort(~mask, axis=1, stable=True)[:, :max_words]
         boxes_c = jnp.take_along_axis(boxes, order[..., None, None], axis=1)
         mask_c = jnp.take_along_axis(mask, order, axis=1)

@@ -279,12 +279,13 @@ def test_pipeline_word_bucket_escalation():
     def fake_fused(det_vars, rec_vars, images, *, max_words, **kw):
         seen.append(max_words)
         batch = images.shape[0]
-        packed = np.zeros((batch, max_words, 9 + 48 + 1), dtype="float32")
+        packed = np.zeros((batch, max_words, 9 + 48 + 2), dtype="float32")
         k = min(n_words, max_words)
         packed[:, :k, 8] = 1.0  # validity mask
         packed[:, :, :8] = 1.0  # degenerate but nonzero boxes
-        packed[:, :, 9:-1] = -1.0  # empty decoded strings
-        packed[:, :, -1] = n_words  # TOTAL components found (ncomp column)
+        packed[:, :, 9:-2] = -1.0  # empty decoded strings
+        packed[:, :, -2] = n_words  # TOTAL components found (ncomp column)
+        packed[:, :, -1] = 1.0  # flags: converged, no refine/warp signals
         return packed
 
     pipeline._fused = fake_fused
@@ -494,6 +495,9 @@ def test_pipeline_truncation_stats(random_pipeline):
         "escalations",
         "truncated_images",
         "component_escalations",
+        "sweep_escalations",
+        "refine_escalations",
+        "warp_escalations",
     }
     assert all(value >= 0 for value in stats.values())
 
@@ -594,12 +598,13 @@ def test_recognize_many_component_cap_race():
     ):
         launches.append(max_components)
         batch = images.shape[0]
-        packed = np.zeros((batch, max_words, 9 + 48 + 1), dtype="float32")
+        packed = np.zeros((batch, max_words, 9 + 48 + 2), dtype="float32")
         k = min(n_components, max_components, max_words)
         packed[:, :k, 8] = 1.0  # validity mask: capped at the launch cap
         packed[:, :, :8] = 1.0  # degenerate but nonzero boxes
-        packed[:, :, 9:-1] = -1.0  # empty decoded strings
-        packed[:, :, -1] = n_components  # TOTAL components found
+        packed[:, :, 9:-2] = -1.0  # empty decoded strings
+        packed[:, :, -2] = n_components  # TOTAL components found
+        packed[:, :, -1] = 1.0  # flags: converged, no refine/warp signals
         return packed
 
     pipeline._fused = fake_fused

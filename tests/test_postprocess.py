@@ -100,7 +100,7 @@ def test_device_boxes_match_host_oracle(seed):
     rng = np.random.RandomState(seed)
     hm = _synthetic_heatmap(rng)
     host = detection.getBoxes(hm[None])[0]
-    boxes, mask, _, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=64)
+    boxes, mask, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=64)
     device = detection.boxes_from_mask(boxes, mask)[0]
     assert len(host) > 0, "oracle found no boxes; bad synthetic heatmap"
     assert len(device) == len(host)
@@ -116,7 +116,7 @@ def test_device_boxes_filters():
     hm[30:36, 30:42, 0] = 0.5  # peak 0.5 < 0.7 -> dropped
     hm[50:56, 20:44, 0] = 0.9  # kept
     host = detection.getBoxes(hm[None])[0]
-    boxes, mask, _, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
+    boxes, mask, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
     device = detection.boxes_from_mask(boxes, mask)[0]
     assert len(host) == 1
     assert len(device) == 1
@@ -125,7 +125,7 @@ def test_device_boxes_filters():
 
 def test_device_boxes_empty():
     hm = np.zeros((64, 64, 2), dtype="float32")
-    boxes, mask, _, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
+    boxes, mask, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
     assert not np.asarray(mask).any()
     host = detection.getBoxes(hm[None])
     assert len(host[0]) == 0
@@ -137,7 +137,7 @@ def test_axis_aligned_rectangle_box_exact():
     hm = np.zeros((64, 96, 2), dtype="float32")
     hm[20:30, 16:60, 0] = 0.95
     host = detection.getBoxes(hm[None])[0]
-    boxes, mask, _, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
+    boxes, mask, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=16)
     device = detection.boxes_from_mask(boxes, mask)[0]
     assert len(host) == 1 and len(device) == 1
     assert evaluation.iou_score(device[0], host[0]) > 0.9
@@ -176,9 +176,9 @@ def test_finer_angle_bank_improves_or_matches_oracle_iou(seed):
     rng = np.random.RandomState(seed)
     hm = _synthetic_heatmap(rng)
     host = detection.getBoxes(hm[None])[0]
-    b0, m0, _, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=64)
+    b0, m0, _ = postprocess_ops.get_boxes(jnp.asarray(hm[None]), max_components=64)
     base = detection.boxes_from_mask(b0, m0)[0]
-    b1, m1, _, _ = postprocess_ops.get_boxes(
+    b1, m1, _ = postprocess_ops.get_boxes(
         jnp.asarray(hm[None]), max_components=64, num_angles=45
     )
     refined = detection.boxes_from_mask(b1, m1)[0]
@@ -200,10 +200,10 @@ def test_get_boxes_reports_total_components():
     fg = (hm[..., 0] > 0.4) | (hm[..., 1] > 0.4)
     _, n_scipy = ndimage.label(fg, structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]])
     for cap in (4, 64):
-        _, _, ncomp, _ = postprocess_ops.get_boxes(
+        _, _, diag = postprocess_ops.get_boxes(
             jnp.asarray(hm[None]), max_components=cap
         )
-        assert int(np.asarray(ncomp)[0]) == n_scipy
+        assert int(np.asarray(diag["n_components"])[0]) == n_scipy
 
 
 def test_detector_detect_escalates_component_cap():
@@ -258,15 +258,15 @@ def test_get_boxes_reports_convergence():
     provably insufficient for a serpentine component."""
     rng = np.random.RandomState(7)
     hm = _synthetic_heatmap(rng)
-    _, _, _, converged = postprocess_ops.get_boxes(jnp.asarray(hm[None]))
-    assert bool(np.asarray(converged)[0])
+    _, _, diag = postprocess_ops.get_boxes(jnp.asarray(hm[None]))
+    assert bool(np.asarray(diag["converged"])[0])
 
     snake_hm = np.zeros(_mega_snake().shape + (2,), "float32")
     snake_hm[..., 0] = np.where(_mega_snake(), 0.95, 0.0)
-    _, _, _, converged = postprocess_ops.get_boxes(
+    _, _, diag = postprocess_ops.get_boxes(
         jnp.asarray(snake_hm[None]), num_sweeps=1
     )
-    assert not bool(np.asarray(converged)[0])
+    assert not bool(np.asarray(diag["converged"])[0])
 
 
 def test_detector_detect_escalates_sweeps_on_serpentine():
