@@ -8,8 +8,12 @@ The reference optionally swaps VGG16-BN for EfficientNet via the
 H/2, H/4, H/8 and H/16 resolution (matching the VGG taps). This is a
 from-scratch Flax implementation of the same architecture (MBConv with
 squeeze-excite, swish, width/depth scaling, filters rounded to multiples
-of 8). ImageNet weights are not bundled; like the reference, pretrained
-inference support is VGG-only (detection.py:681).
+of 8). BatchNorm epsilon follows the TF implementation (1e-3). ImageNet
+initialization is available through
+:mod:`keras_ocr_tpu.weights.efficientnet` (the reference's
+``weights="imagenet"`` backbone build, detection.py:338-341); pretrained
+CRAFT *inference* weights remain VGG-only like the reference
+(detection.py:681).
 """
 
 from __future__ import annotations
@@ -74,7 +78,9 @@ class ConvBNSwish(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, epsilon=1e-3, dtype=self.dtype
+        )(x)
         return nn.swish(x)
 
 
@@ -97,7 +103,7 @@ class MBConv(nn.Module):
             x = nn.Conv(
                 expanded, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv"
             )(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="expand_bn")(x)
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, dtype=self.dtype, name="expand_bn")(x)
             x = nn.swish(x)
         expand_activation = x
         if return_expand:
@@ -113,7 +119,7 @@ class MBConv(nn.Module):
             dtype=self.dtype,
             name="dwconv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="dw_bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, dtype=self.dtype, name="dw_bn")(x)
         x = nn.swish(x)
         # Squeeze-excite
         se_channels = max(1, int(channels * self.se_ratio))
@@ -126,7 +132,7 @@ class MBConv(nn.Module):
         x = nn.Conv(
             self.filters_out, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv"
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype, name="project_bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3, dtype=self.dtype, name="project_bn")(x)
         if self.stride == 1 and channels == self.filters_out:
             x = x + inputs
         return x

@@ -630,7 +630,16 @@ def drawAnnotations(image, predictions, ax=None):
 
 def sha256sum(filename):
     """Compute the sha256 hash for a file. (/root/reference/keras_ocr/tools.py:484-492.)"""
-    h = hashlib.sha256()
+    return _filehash(filename, hashlib.sha256())
+
+
+def md5sum(filename):
+    """md5 for files whose upstream publishes only md5 (keras-applications
+    EfficientNet checkpoints, tf_keras WEIGHTS_HASHES)."""
+    return _filehash(filename, hashlib.md5())
+
+
+def _filehash(filename, h):
     b = bytearray(128 * 1024)
     mv = memoryview(b)
     with open(filename, "rb", buffering=0) as f:

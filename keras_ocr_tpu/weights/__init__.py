@@ -107,9 +107,16 @@ def download_pretrained(config: dict) -> str:
     """
     import os
 
-    filename, sha256 = config["filename"], config["sha256"]
+    filename = config["filename"]
+    # Registry entries carry sha256 (preferred); entries whose upstream
+    # publishes only md5 (keras-applications EfficientNet checkpoints)
+    # carry "md5" instead.
+    if "sha256" in config:
+        expected, hash_fn = config["sha256"], tools.sha256sum
+    else:
+        expected, hash_fn = config["md5"], tools.md5sum
     vendored = os.path.join(vendored_weights_dir(), filename)
-    if os.path.isfile(vendored) and tools.sha256sum(vendored) == sha256:
+    if os.path.isfile(vendored) and hash_fn(vendored) == expected:
         return vendored
     urls = [config["url"]]
     mirror_base = os.environ.get("KERAS_OCR_TPU_WEIGHTS_MIRROR")
@@ -119,7 +126,15 @@ def download_pretrained(config: dict) -> str:
     last_exc: typing.Optional[Exception] = None
     for url in urls:
         try:
-            return tools.download_and_verify(url=url, filename=filename, sha256=sha256)
+            if hash_fn is tools.sha256sum:
+                return tools.download_and_verify(
+                    url=url, filename=filename, sha256=expected
+                )
+            path = tools.download_and_verify(url=url, filename=filename)
+            if tools.md5sum(path) != expected:
+                os.remove(path)  # a stale cache copy must not stick around
+                raise ValueError(f"md5 mismatch for {path} (from {url})")
+            return path
         except Exception as exc:  # noqa: BLE001 - try the next mirror
             last_exc = exc
     raise RuntimeError(
