@@ -643,6 +643,22 @@ class Pipeline:
         scales = [scale for _, scale in resized]
         max_height = max(image.shape[0] for image, _ in resized)
         max_width = max(image.shape[1] for image, _ in resized)
+        # Same shape-bucketing as the fused path (_prepare): honor pad_to
+        # (post-resize space) and round the batch extent up to size_bucket
+        # so distinct batch shapes don't each compile a fresh detector
+        # program. Extra padding is blank border — the detector finds no
+        # components there, so results are unchanged.
+        if self.pad_to is not None:
+            target_h = self.pad_to[0] * self.scale
+            target_w = self.pad_to[1] * self.scale
+            if target_h < max_height or target_w < max_width:
+                raise ValueError(
+                    f"pad_to {self.pad_to} (x{self.scale}) smaller than "
+                    f"resized batch extent ({max_height}, {max_width})"
+                )
+            max_height, max_width = target_h, target_w
+        max_height = -(-max_height // self.size_bucket) * self.size_bucket
+        max_width = -(-max_width // self.size_bucket) * self.size_bucket
         batch = np.array(
             [
                 tools.pad(image, width=max_width, height=max_height)

@@ -455,6 +455,52 @@ def test_recognition_kwargs_two_stage_path(random_pipeline):
         )
 
 
+def test_two_stage_path_shares_shape_bucketing(random_pipeline):
+    """The two-stage (recognition_kwargs) path must use the same pad_to /
+    size_bucket shape policy as the fused path, so distinct batch extents
+    don't each compile a fresh detector program."""
+    rng = np.random.RandomState(5)
+    random_pipeline.pad_to = (64, 96)
+    seen_shapes = []
+    original_detect = random_pipeline.detector.detect
+
+    def spy_detect(images, **kwargs):
+        seen_shapes.append(np.asarray(images).shape)
+        return original_detect(images=images, **kwargs)
+
+    random_pipeline.detector.detect = spy_detect
+    try:
+        for h, w in [(40, 50), (50, 70), (63, 95)]:
+            image = rng.randint(0, 255, size=(h, w, 3), dtype="uint8")
+            random_pipeline.recognize(
+                images=[image], recognition_kwargs={"batch_size": 4}
+            )
+        # pad_to is pre-resize space; scale=2 doubles it -> ONE static shape.
+        assert seen_shapes == [(1, 128, 192, 3)] * 3
+
+        # Below-extent pad_to must fail loudly, exactly like the fused path.
+        random_pipeline.pad_to = (8, 8)
+        with pytest.raises(ValueError):
+            random_pipeline.recognize(
+                images=[rng.randint(0, 255, size=(64, 80, 3), dtype="uint8")],
+                recognition_kwargs={"batch_size": 4},
+            )
+
+        # Without pad_to, extents round up to the size_bucket grid.
+        random_pipeline.pad_to = None
+        seen_shapes.clear()
+        random_pipeline.recognize(
+            images=[rng.randint(0, 255, size=(40, 50, 3), dtype="uint8")],
+            recognition_kwargs={"batch_size": 4},
+        )
+        bucket = random_pipeline.size_bucket
+        (shape,) = seen_shapes
+        assert shape[1] % bucket == 0 and shape[2] % bucket == 0
+    finally:
+        random_pipeline.detector.detect = original_detect
+        random_pipeline.pad_to = None
+
+
 def test_recognize_from_boxes_batch_size_chunking(random_pipeline):
     """Chunked device forwards must produce identical strings."""
     rng = np.random.RandomState(4)
