@@ -150,12 +150,6 @@ def get_born_digital_recognizer_dataset(split="train", cache_dir=None):
     assert split in ["train", "traintest", "test"], f"Unsupported split: {split}"
     if split in ["train", "traintest"]:
         train_dir = os.path.join(main_dir, "train")
-        training_zip_path = tools.download_and_verify(
-            url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge1_Training_Task3_Images_GT.zip",
-            filename="Challenge1_Training_Task3_Images_GT.zip",
-            cache_dir=main_dir,
-            sha256="8ede0639f5a8031d584afd98cee893d1c5275d7f17863afc2cba24b13c932b07",
-        )
         if (
             len(
                 glob.glob(os.path.join(train_dir, "*.png"))
@@ -163,8 +157,13 @@ def get_born_digital_recognizer_dataset(split="train", cache_dir=None):
             )
             != 3568
         ):
-            with zipfile.ZipFile(training_zip_path) as zfile:
-                zfile.extractall(train_dir)
+            tools.download_and_extract(
+                url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge1_Training_Task3_Images_GT.zip",
+                filename="Challenge1_Training_Task3_Images_GT.zip",
+                cache_dir=main_dir,
+                sha256="8ede0639f5a8031d584afd98cee893d1c5275d7f17863afc2cba24b13c932b07",
+                destination=train_dir,
+            )
         data.extend(
             _read_born_digital_labels_file(
                 labels_filepath=os.path.join(train_dir, "gt.txt"),
@@ -173,15 +172,14 @@ def get_born_digital_recognizer_dataset(split="train", cache_dir=None):
         )
     if split in ["test", "traintest"]:
         test_dir = os.path.join(main_dir, "test")
-        test_zip_path = tools.download_and_verify(
-            url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge1_Test_Task3_Images.zip",
-            filename="Challenge1_Test_Task3_Images.zip",
-            cache_dir=main_dir,
-            sha256="8f781b0140fd0bac3750530f0924bce5db3341fd314a2fcbe9e0b6ca409a77f0",
-        )
         if len(glob.glob(os.path.join(test_dir, "*.png"))) != 1439:
-            with zipfile.ZipFile(test_zip_path) as zfile:
-                zfile.extractall(test_dir)
+            tools.download_and_extract(
+                url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge1_Test_Task3_Images.zip",
+                filename="Challenge1_Test_Task3_Images.zip",
+                cache_dir=main_dir,
+                sha256="8f781b0140fd0bac3750530f0924bce5db3341fd314a2fcbe9e0b6ca409a77f0",
+                destination=test_dir,
+            )
         test_gt_path = tools.download_and_verify(
             url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge1_Test_Task3_GT.txt",
             cache_dir=test_dir,
@@ -214,25 +212,23 @@ def get_icdar_2013_detector_dataset(cache_dir=None, skip_illegible=False):
         cache_dir = tools.get_default_cache_dir()
     main_dir = os.path.join(cache_dir, "icdar2013")
     training_images_dir = os.path.join(main_dir, "Challenge2_Training_Task12_Images")
-    training_zip_images_path = tools.download_and_verify(
-        url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge2_Training_Task12_Images.zip",
-        cache_dir=main_dir,
-        filename="Challenge2_Training_Task12_Images.zip",
-        sha256="7a57d1699fbb92db3ad82c930202938562edaf72e1c422ddd923860d8ace8ded",
-    )
     if len(glob.glob(os.path.join(training_images_dir, "*.jpg"))) != 229:
-        with zipfile.ZipFile(training_zip_images_path) as zfile:
-            zfile.extractall(training_images_dir)
+        tools.download_and_extract(
+            url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge2_Training_Task12_Images.zip",
+            cache_dir=main_dir,
+            filename="Challenge2_Training_Task12_Images.zip",
+            sha256="7a57d1699fbb92db3ad82c930202938562edaf72e1c422ddd923860d8ace8ded",
+            destination=training_images_dir,
+        )
     training_gt_dir = os.path.join(main_dir, "Challenge2_Training_Task2_GT")
-    training_zip_gt_path = tools.download_and_verify(
-        url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge2_Training_Task2_GT.zip",
-        cache_dir=main_dir,
-        filename="Challenge2_Training_Task2_GT.zip",
-        sha256="4cedd5b1e33dc4354058f5967221ac85dbdf91a99b30f3ab1ecdf42786a9d027",
-    )
     if len(glob.glob(os.path.join(training_gt_dir, "*.txt"))) != 229:
-        with zipfile.ZipFile(training_zip_gt_path) as zfile:
-            zfile.extractall(training_gt_dir)
+        tools.download_and_extract(
+            url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/Challenge2_Training_Task2_GT.zip",
+            cache_dir=main_dir,
+            filename="Challenge2_Training_Task2_GT.zip",
+            sha256="4cedd5b1e33dc4354058f5967221ac85dbdf91a99b30f3ab1ecdf42786a9d027",
+            destination=training_gt_dir,
+        )
 
     dataset = []
     for gt_filepath in glob.glob(os.path.join(training_gt_dir, "*.txt")):
@@ -285,23 +281,21 @@ def get_icdar_2019_semisupervised_dataset(cache_dir=None):
     training_dir_1 = os.path.join(main_dir, "ImagesPart1")
     training_dir_2 = os.path.join(main_dir, "ImagesPart2")
     if len(glob.glob(os.path.join(training_dir_1, "*"))) != 5000:
-        training_zip_1 = tools.download_and_verify(
+        tools.download_and_extract(
             url="https://www.mediafire.com/file/snekaezeextc3ee/ImagesPart1.zip/file",
             cache_dir=main_dir,
             filename="ImagesPart1.zip",
             sha256="1968894ef93b97f3ef4c97880b6dce85b1851f4d778e253f4e7265b152a4986f",
+            destination=main_dir,
         )
-        with zipfile.ZipFile(training_zip_1) as zfile:
-            zfile.extractall(main_dir)
     if len(glob.glob(os.path.join(training_dir_2, "*"))) != 5000:
-        training_zip_2 = tools.download_and_verify(
+        tools.download_and_extract(
             url="https://www.mediafire.com/file/i2snljkfm4t2ojm/ImagesPart2.zip/file",
             cache_dir=main_dir,
             filename="ImagesPart2.zip",
             sha256="5651b9137e877f731bfebb2a8b75042e26baa389d2fb1cfdbb9e3da343757241",
+            destination=main_dir,
         )
-        with zipfile.ZipFile(training_zip_2) as zfile:
-            zfile.extractall(main_dir)
     ground_truth = tools.download_and_verify(
         url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/mlt2019_dataset.json",
         cache_dir=main_dir,

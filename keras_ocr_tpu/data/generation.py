@@ -22,7 +22,6 @@ import os
 import random
 import string
 import typing
-import zipfile
 
 import numpy as np
 import PIL.Image
@@ -250,15 +249,14 @@ def get_backgrounds(cache_dir=None):
     if cache_dir is None:
         cache_dir = tools.get_default_cache_dir()
     backgrounds_dir = os.path.join(cache_dir, "backgrounds")
-    backgrounds_zip_path = tools.download_and_verify(
-        url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/backgrounds.zip",
-        sha256="f263ed0d55de303185cc0f93e9fcb0b13104d68ed71af7aaaa8e8c91389db471",
-        filename="backgrounds.zip",
-        cache_dir=cache_dir,
-    )
     if len(glob.glob(os.path.join(backgrounds_dir, "*"))) != 1035:
-        with zipfile.ZipFile(backgrounds_zip_path) as zfile:
-            zfile.extractall(backgrounds_dir)
+        tools.download_and_extract(
+            url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/backgrounds.zip",
+            sha256="f263ed0d55de303185cc0f93e9fcb0b13104d68ed71af7aaaa8e8c91389db471",
+            filename="backgrounds.zip",
+            cache_dir=cache_dir,
+            destination=backgrounds_dir,
+        )
     return glob.glob(os.path.join(backgrounds_dir, "*.jpg"))
 
 
@@ -270,17 +268,16 @@ def get_fonts(
     """Download the curated 2746-font set, filtered to the alphabet. (:212-270.)"""
     if cache_dir is None:
         cache_dir = tools.get_default_cache_dir()
-    fonts_zip_path = tools.download_and_verify(
-        url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/fonts.zip",
-        sha256="d4d90c27a9bc4bf8fff1d2c0a00cfb174c7d5d10f60ed29d5f149ef04d45b700",
-        filename="fonts.zip",
-        cache_dir=cache_dir,
-    )
     fonts_dir = os.path.join(cache_dir, "fonts")
     if len(glob.glob(os.path.join(fonts_dir, "**/*.ttf"))) != 2746:
         print("Unzipping fonts ZIP file.")
-        with zipfile.ZipFile(fonts_zip_path) as zfile:
-            zfile.extractall(fonts_dir)
+        tools.download_and_extract(
+            url="https://github.com/faustomorales/keras-ocr/releases/download/v0.8.4/fonts.zip",
+            sha256="d4d90c27a9bc4bf8fff1d2c0a00cfb174c7d5d10f60ed29d5f149ef04d45b700",
+            filename="fonts.zip",
+            cache_dir=cache_dir,
+            destination=fonts_dir,
+        )
     font_filepaths = glob.glob(os.path.join(fonts_dir, "**/*.ttf"))
     if exclude_smallcaps:
         with open(

@@ -19,6 +19,8 @@ import re
 import typing
 import urllib.parse
 import urllib.request
+import warnings
+import zipfile
 
 import numpy as np
 import PIL.Image
@@ -698,3 +700,61 @@ def download_and_verify(
     if sha256 is not None and sha256 != sha256sum(filepath):
         raise ValueError(f"sha256 mismatch for {filepath} (from {url})")
     return filepath
+
+
+def safe_extract_zip(zip_path, destination):
+    """Extract a zip archive, refusing members that escape ``destination``.
+
+    Every loader extract site funnels through this guard so a hostile or
+    corrupted archive (absolute paths, ``..`` traversal — "zip-slip")
+    cannot write outside its dataset directory. Truncated archives
+    surface as :class:`zipfile.BadZipFile` instead of partially
+    extracting. The reference extracts archives unguarded
+    (/root/reference/keras_ocr/datasets.py:150-305).
+    """
+    destination = os.path.realpath(destination)
+    with zipfile.ZipFile(zip_path) as zfile:
+        for member in zfile.namelist():
+            target = os.path.realpath(os.path.join(destination, member))
+            if target != destination and not target.startswith(
+                destination + os.sep
+            ):
+                raise ValueError(
+                    f"refusing to extract {member!r} from {zip_path}: "
+                    f"escapes {destination}"
+                )
+        zfile.extractall(destination)
+
+
+def download_and_extract(
+    url,
+    destination,
+    sha256=None,
+    cache_dir=None,
+    filename=None,
+    verbose=True,
+):
+    """:func:`download_and_verify` + :func:`safe_extract_zip`, retrying once
+    when the cached archive is corrupt.
+
+    A cached file that no longer opens as a zip (interrupted write from a
+    pre-sha256 run, disk corruption) is deleted and re-downloaded once
+    instead of permanently wedging the dataset loader; a second failure
+    propagates.
+    """
+    for attempt in range(2):
+        zip_path = download_and_verify(
+            url=url,
+            sha256=sha256,
+            cache_dir=cache_dir,
+            filename=filename,
+            verbose=verbose,
+        )
+        try:
+            safe_extract_zip(zip_path, destination)
+            return zip_path
+        except zipfile.BadZipFile:
+            if attempt:
+                raise
+            warnings.warn(f"cached archive {zip_path} is corrupt; re-downloading")
+            os.remove(zip_path)

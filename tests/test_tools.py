@@ -193,3 +193,83 @@ def test_draw_boxes():
     canvas = tools.drawBoxes(image, boxes, color=(255, 0, 0), thickness=2)
     assert canvas.sum() > 0
     assert (canvas[:, :, 1:] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Archive extraction hardening (safe_extract_zip / download_and_extract)
+# ---------------------------------------------------------------------------
+
+
+def _write_zip(path, members):
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as zfile:
+        for name, payload in members:
+            zfile.writestr(name, payload)
+
+
+def test_safe_extract_zip_roundtrip(tmp_path):
+    zip_path = tmp_path / "good.zip"
+    _write_zip(zip_path, [("a.txt", "alpha"), ("sub/b.txt", "beta")])
+    dest = tmp_path / "out"
+    tools.safe_extract_zip(str(zip_path), str(dest))
+    assert (dest / "a.txt").read_text() == "alpha"
+    assert (dest / "sub" / "b.txt").read_text() == "beta"
+
+
+@pytest.mark.parametrize("member", ["../evil.txt", "sub/../../evil.txt"])
+def test_safe_extract_zip_rejects_traversal(tmp_path, member):
+    zip_path = tmp_path / "evil.zip"
+    _write_zip(zip_path, [("ok.txt", "fine"), (member, "pwned")])
+    dest = tmp_path / "out"
+    with pytest.raises(ValueError, match="escapes"):
+        tools.safe_extract_zip(str(zip_path), str(dest))
+    assert not (tmp_path / "evil.txt").exists()
+
+
+def test_safe_extract_zip_rejects_absolute(tmp_path):
+    zip_path = tmp_path / "abs.zip"
+    _write_zip(zip_path, [("/tmp/abs_evil.txt", "pwned")])
+    with pytest.raises(ValueError, match="escapes"):
+        tools.safe_extract_zip(str(zip_path), str(tmp_path / "out"))
+
+
+def test_download_and_extract_redownloads_corrupt_cache(tmp_path):
+    """A cached archive that no longer opens as a zip must be replaced by a
+    fresh download (one retry), not wedge the loader forever."""
+    source = tmp_path / "source.zip"
+    _write_zip(source, [("a.txt", "alpha")])
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+    # Corrupt cached copy: exists, so download_and_verify (no sha) trusts it.
+    (cache_dir / "data.zip").write_bytes(b"this is not a zip")
+    dest = tmp_path / "out"
+    with pytest.warns(UserWarning, match="corrupt"):
+        tools.download_and_extract(
+            url=source.as_uri(),
+            destination=str(dest),
+            cache_dir=str(cache_dir),
+            filename="data.zip",
+            verbose=False,
+        )
+    assert (dest / "a.txt").read_text() == "alpha"
+
+
+def test_download_and_extract_propagates_double_corruption(tmp_path):
+    """If the re-downloaded archive is corrupt too, fail loudly."""
+    import zipfile as _zipfile
+
+    source = tmp_path / "source.zip"
+    source.write_bytes(b"still not a zip")
+    cache_dir = tmp_path / "cache"
+    cache_dir.mkdir()
+    (cache_dir / "data.zip").write_bytes(b"not a zip either")
+    with pytest.warns(UserWarning, match="corrupt"):
+        with pytest.raises(_zipfile.BadZipFile):
+            tools.download_and_extract(
+                url=source.as_uri(),
+                destination=str(tmp_path / "out"),
+                cache_dir=str(cache_dir),
+                filename="data.zip",
+                verbose=False,
+            )
