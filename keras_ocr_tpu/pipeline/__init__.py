@@ -20,6 +20,7 @@ candidate components in raster order).
 from __future__ import annotations
 
 import functools
+import threading
 import typing
 import warnings
 
@@ -35,6 +36,17 @@ from ..ops import ctc as ctc_ops
 from ..ops import postprocess as postprocess_ops
 from ..ops.image import compute_input, rgb_to_grayscale
 from ..ops.warp import warp_boxes_batch
+
+
+def _new_run_stats():
+    return {
+        "escalations": 0,
+        "truncated_images": 0,
+        "component_escalations": 0,
+        "sweep_escalations": 0,
+        "refine_escalations": 0,
+        "warp_escalations": 0,
+    }
 
 
 class Pipeline:
@@ -96,19 +108,22 @@ class Pipeline:
                 f"max_words={max_words}; got {tuple(word_buckets)}"
             )
         self.word_buckets = tuple(int(b) for b in word_buckets)
+        # Sticky caps are PERF MEMOS, never correctness state: every
+        # launched program's overflow is judged against the caps it was
+        # launched with (threaded through _fetch_escalating), so a stale
+        # read here costs at most one extra escalation rerun. The lock
+        # below only makes concurrent learning monotonic.
         self._component_cap = detector.max_components
         self._num_sweeps = detection_mod.DEFAULT_NUM_SWEEPS
         self._bucket_start = 0
+        self._sticky_lock = threading.Lock()
         # Per-call observability: bucket escalations + images whose word
         # slots all filled at the top bucket (possible truncation).
-        self.last_run_stats = {
-            "escalations": 0,
-            "truncated_images": 0,
-            "component_escalations": 0,
-            "sweep_escalations": 0,
-            "refine_escalations": 0,
-            "warp_escalations": 0,
-        }
+        # Published as one consistent snapshot at the END of each
+        # recognize/recognize_many call (counters accumulate in a local
+        # dict during the call, so concurrent calls never tear each
+        # other's stats).
+        self.last_run_stats = _new_run_stats()
         self.size_bucket = size_bucket
         self.pad_to = pad_to
         # Optional data-parallel inference: shard the image batch over the
@@ -388,6 +403,25 @@ class Pipeline:
             device_batch = jnp.asarray(batch)
         return device_batch, scales, num_real, resize_to
 
+    def _raise_sticky(self, component_cap=None, num_sweeps=None, bucket_start=None):
+        """Publish learned caps monotonically (thread-safe).
+
+        Concurrent ``recognize`` calls race on these memos; without the
+        lock a stale ``max()`` read-modify-write could LOSE another call's
+        escalation, costing that workload one rerun per call forever.
+        Correctness never depends on these: overflow is always judged
+        against the caps a program was launched with.
+        """
+        with self._sticky_lock:
+            if component_cap is not None:
+                self._component_cap = max(self._component_cap, component_cap)
+            if num_sweeps is not None:
+                self._num_sweeps = max(self._num_sweeps, num_sweeps)
+            if bucket_start is not None:
+                # Density memo tracks the CURRENT workload, so latest wins
+                # (it may legitimately decrease after a dense batch).
+                self._bucket_start = bucket_start
+
     def _launch(
         self, device_batch, detection_kwargs, bucket, resize_to, components,
         sweeps=detection_mod.DEFAULT_NUM_SWEEPS, refine_level=0, warp_level=0,
@@ -421,6 +455,7 @@ class Pipeline:
         bucket,
         components,
         sweeps=detection_mod.DEFAULT_NUM_SWEEPS,
+        stats=None,
     ):
         """Fetch a dispatched result; escalate the word bucket on overflow.
 
@@ -436,6 +471,8 @@ class Pipeline:
         in-flight chunk may already have escalated past this result's
         actual caps.
         """
+        if stats is None:
+            stats = self.last_run_stats
         remaining = list(
             self.word_buckets[self.word_buckets.index(bucket) + 1 :]
         )
@@ -460,8 +497,8 @@ class Pipeline:
         # component-overflow check reads ncomp.
         while flag_bits(1) and sweeps < MAX_SWEEPS_CEILING:
             sweeps = min(sweeps * 2, MAX_SWEEPS_CEILING)
-            self._num_sweeps = max(self._num_sweeps, sweeps)
-            self.last_run_stats["sweep_escalations"] += 1
+            self._raise_sticky(num_sweeps=sweeps)
+            stats["sweep_escalations"] += 1
             packed = np.asarray(
                 self._launch(
                     device_batch, detection_kwargs, bucket, resize_to,
@@ -487,8 +524,8 @@ class Pipeline:
             and components < MAX_COMPONENTS_CEILING
         ):
             components = min(components * 2, MAX_COMPONENTS_CEILING)
-            self._component_cap = max(self._component_cap, components)
-            self.last_run_stats["component_escalations"] += 1
+            self._raise_sticky(component_cap=components)
+            stats["component_escalations"] += 1
             packed = np.asarray(
                 self._launch(
                     device_batch, detection_kwargs, bucket, resize_to,
@@ -497,7 +534,7 @@ class Pipeline:
             )[:num_real]
         while bool((packed[..., 8] > 0.5).all(axis=1).any()) and remaining:
             bucket = remaining.pop(0)
-            self.last_run_stats["escalations"] += 1
+            stats["escalations"] += 1
             packed = np.asarray(
                 self._launch(
                     device_batch, detection_kwargs, bucket, resize_to,
@@ -512,7 +549,7 @@ class Pipeline:
         warp_level = 0
         while flag_bits(2) and refine_level < len(REFINE_LADDER):
             refine_level += 1
-            self.last_run_stats["refine_escalations"] += 1
+            stats["refine_escalations"] += 1
             packed = np.asarray(
                 self._launch(
                     device_batch, detection_kwargs, bucket, resize_to,
@@ -534,7 +571,7 @@ class Pipeline:
         # the top rung accepts the measured mildly-lossy downscale).
         while flag_bits(4) and warp_level < len(WINDOW_LADDER) - 1:
             warp_level += 1
-            self.last_run_stats["warp_escalations"] += 1
+            stats["warp_escalations"] += 1
             packed = np.asarray(
                 self._launch(
                     device_batch, detection_kwargs, bucket, resize_to,
@@ -546,7 +583,7 @@ class Pipeline:
             # Every slot of the TOP bucket is used: scenes may hold more
             # than max_words words and are being silently truncated in the
             # reference-equivalent output (the reference has no cap).
-            self.last_run_stats["truncated_images"] += saturated
+            stats["truncated_images"] += saturated
             warnings.warn(
                 f"{saturated} image(s) filled all max_words={self.max_words} "
                 "word slots; results may be truncated. Raise Pipeline("
@@ -556,9 +593,11 @@ class Pipeline:
         word_count = (
             int((packed[..., 8] > 0.5).sum(axis=1).max()) if len(packed) else 0
         )
-        self._bucket_start = next(
-            (i for i, b in enumerate(self.word_buckets) if b > word_count),
-            len(self.word_buckets) - 1,
+        self._raise_sticky(
+            bucket_start=next(
+                (i for i, b in enumerate(self.word_buckets) if b > word_count),
+                len(self.word_buckets) - 1,
+            )
         )
         return packed
 
@@ -596,14 +635,8 @@ class Pipeline:
         the recognizer call in.
         """
         detection_kwargs = dict(detection_kwargs or {})
-        self.last_run_stats = {
-            "escalations": 0,
-            "truncated_images": 0,
-            "component_escalations": 0,
-            "sweep_escalations": 0,
-            "refine_escalations": 0,
-            "warp_escalations": 0,
-        }
+        stats = _new_run_stats()
+        self.last_run_stats = stats
         if recognition_kwargs:
             return self._recognize_two_stage(
                 images, detection_kwargs, dict(recognition_kwargs)
@@ -624,7 +657,11 @@ class Pipeline:
             bucket,
             components,
             sweeps,
+            stats=stats,
         )
+        # Publish the finished snapshot: a concurrent call may have swapped
+        # self.last_run_stats mid-run, so re-point it at THIS call's stats.
+        self.last_run_stats = stats
         return self._finalize(packed, scales)
 
     def _recognize_two_stage(self, images, detection_kwargs, recognition_kwargs):
@@ -695,14 +732,8 @@ class Pipeline:
         ``recognize`` called per chunk.
         """
         detection_kwargs = dict(detection_kwargs or {})
-        self.last_run_stats = {
-            "escalations": 0,
-            "truncated_images": 0,
-            "component_escalations": 0,
-            "sweep_escalations": 0,
-            "refine_escalations": 0,
-            "warp_escalations": 0,
-        }
+        stats = _new_run_stats()
+        self.last_run_stats = stats
         if not isinstance(images, (list, tuple)):
             images = list(images)
         inflight: typing.List[tuple] = []
@@ -728,6 +759,7 @@ class Pipeline:
                 bucket,
                 components,
                 sweeps,
+                stats=stats,
             )
             results.extend(self._finalize(packed, scales))
 
@@ -757,6 +789,7 @@ class Pipeline:
                 drain_one()
         while inflight:
             drain_one()
+        self.last_run_stats = stats
         return results
 
     def export(

@@ -665,6 +665,66 @@ def test_recognize_many_component_cap_race():
     assert pipeline._component_cap == 8
 
 
+def test_concurrent_recognize_sticky_caps_and_stats():
+    """Concurrent recognize calls on ONE Pipeline: every thread's results
+    must be correct, the sticky component cap must end at the monotonic max
+    (no lost escalation), and each published stats snapshot must be
+    internally consistent (not torn between threads)."""
+    import string
+    import threading as _threading
+
+    detector = Detector(weights=None, max_components=2)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector,
+        recognizer=recognizer,
+        scale=2,
+        max_words=16,
+        word_buckets=(16,),
+    )
+    n_components = 5
+    barrier = _threading.Barrier(4)
+
+    def fake_fused(
+        det_vars, rec_vars, images, *, max_components, max_words, **kw
+    ):
+        batch = images.shape[0]
+        packed = np.zeros((batch, max_words, 9 + 48 + 2), dtype="float32")
+        k = min(n_components, max_components, max_words)
+        packed[:, :k, 8] = 1.0
+        packed[:, :, :8] = 1.0
+        packed[:, :, 9:-2] = -1.0
+        packed[:, :, -2] = n_components
+        packed[:, :, -1] = 1.0
+        return packed
+
+    pipeline._fused = fake_fused
+    image = np.zeros((64, 96, 3), dtype="uint8")
+    outcomes = [None] * 4
+
+    def worker(i):
+        barrier.wait()  # maximize overlap: all threads launch together
+        results = pipeline.recognize(images=[image])
+        outcomes[i] = (results, dict(pipeline.last_run_stats))
+
+    threads = [_threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for results, stats in outcomes:
+        assert len(results[0]) == n_components  # no capped result leaked out
+        # Snapshot keys are complete and non-negative (not torn mid-update).
+        assert set(stats) == set(pipeline.last_run_stats)
+        assert all(v >= 0 for v in stats.values())
+    # The sticky cap is the monotonic max over every thread's escalation;
+    # under the pre-lock design a stale read-modify-write could lose it.
+    assert pipeline._component_cap == 8
+
+
 def test_exported_pipeline_slices_by_artifact_ctc_time():
     """ExportedPipeline must slice decoded frames by the artifact's own
     ctc_time: serving a pre-ncomp-column artifact (packed width 9+T) with a
