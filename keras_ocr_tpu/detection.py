@@ -222,9 +222,12 @@ class Detector:
     """CRAFT text detector.
 
     API parity with /root/reference/keras_ocr/detection.py:661-785, with a
-    jitted Flax forward + on-device post-processing. ``weights=None`` (or a
-    missing cache in offline environments) leaves the model randomly
-    initialized.
+    jitted Flax forward + on-device post-processing. ``weights=None`` leaves
+    the model randomly initialized. When the pretrained file cannot be
+    obtained (offline environment, no cache), the constructor RAISES unless
+    ``allow_random_fallback=True`` — silent random weights would be a
+    quality trap, so degrading to random init is an explicit opt-in that
+    warns when it happens.
     """
 
     def __init__(
@@ -235,6 +238,7 @@ class Detector:
         backbone_name: str = "vgg",
         compute_dtype=jnp.float32,
         max_components: int = 256,
+        allow_random_fallback: bool = False,
     ):
         from . import config as config_lib
         from . import weights as weights_lib
@@ -252,8 +256,20 @@ class Detector:
                 pretrained_key in weights_lib.DETECTOR_PRETRAINED
             ), "Selected weights configuration not found."
             config = weights_lib.DETECTOR_PRETRAINED[pretrained_key]
-            weights_path = weights_lib.download_pretrained(config)
-            self.variables = weights_lib.load_craft_weights(weights_path)
+            try:
+                weights_path = weights_lib.download_pretrained(config)
+            except RuntimeError:
+                if not allow_random_fallback:
+                    raise
+                warnings.warn(
+                    f"Pretrained weights {weights!r} unavailable (offline, "
+                    "no cache); falling back to RANDOM initialization "
+                    "(allow_random_fallback=True). Detection quality will "
+                    "be garbage until the model is trained.",
+                    stacklevel=2,
+                )
+            else:
+                self.variables = weights_lib.load_craft_weights(weights_path)
         if self.variables is None:
             from .models import init_variables
 

@@ -141,3 +141,23 @@ def test_bench_reports_ok_but_on_complete_file_with_bad_exit(tmp_path, monkeypat
     # Status must acknowledge both: metrics are complete AND the exit failed.
     assert out["status"].startswith("ok-but-error")
     assert out["precision"] == 0.55
+
+
+def test_detector_offline_raises_unless_fallback_opted_in(monkeypatch):
+    """VERDICT r3 item 7: no silent random weights (detection.py:221-276).
+
+    When the pretrained file is unobtainable the constructor must raise by
+    default; ``allow_random_fallback=True`` downgrades that to a warning and
+    a randomly initialized model.
+    """
+    from keras_ocr_tpu.detection import Detector
+
+    def fake_download(config):
+        raise RuntimeError("could not obtain " + config["filename"])
+
+    monkeypatch.setattr(weights_lib, "download_pretrained", fake_download)
+    with pytest.raises(RuntimeError, match="could not obtain"):
+        Detector(max_components=16)
+    with pytest.warns(UserWarning, match="RANDOM initialization"):
+        detector = Detector(max_components=16, allow_random_fallback=True)
+    assert detector.variables is not None
