@@ -31,6 +31,11 @@ from scipy import ndimage as _ndimage
 
 from .. import tools
 
+# Built-in fallback corpus for the sentence generator (essential_generators
+# is not a dependency here): ~2k common words so offline recognizer
+# training keeps real lexical diversity (ref data_generation.py:140-156).
+from .wordlist import WORDS as _CORPUS_WORDS
+
 LIGATURES = {"\U0000FB01": "fi", "\U0000FB02": "fl"}
 LIGATURE_STRING = "".join(LIGATURES.keys())
 
@@ -175,20 +180,6 @@ def font_supports_alphabet(filepath, alphabet):
     return True
 
 
-# Built-in fallback corpus for the sentence generator (essential_generators
-# is not a dependency here).
-_CORPUS_WORDS = (
-    "the quick brown fox jumps over lazy dog pack my box with five dozen "
-    "liquor jugs how vexingly daft zebras jump bright vixens watch for "
-    "light rain sphinx of black quartz judge my vow crazy frederick bought "
-    "many very exquisite opal jewels jackdaws love big spheres a mad boxer "
-    "shot a quick gloved jab to the jaw of his dizzy opponent grumpy "
-    "wizards make toxic brew for the evil queen and jack amazingly few "
-    "discotheques provide jukeboxes heavy boxes perform waltzes and jigs "
-    "street market value order system report number event dock station "
-    "coffee window garden signal ticket people silver yellow purple modern "
-    "ancient machine quantum circuit"
-).split()
 
 
 def get_text_generator(alphabet=None, lowercase=False, max_string_length=None, rng=None):
