@@ -161,7 +161,12 @@ def crnn_variables_to_h5(variables: dict, path: str, include_top: bool = True) -
     The inverse of :func:`crnn_variables_from_h5` for the default
     ``build_params`` graph: the reference ``Recognizer``'s
     ``model.load_weights`` (top) or ``backbone.load_weights`` (notop)
-    restores the same network (recognition.py:388-404).
+    restores the same network (recognition.py:388-404). Variables from a
+    ``stn=False`` build (no ``params["stn"]`` subtree) produce a file for
+    the reference's ``build_model(..., stn=False)`` graph, which skips the
+    nested localization model and the transform Lambda
+    (recognition.py:243-281): Keras's topological loader matches saved
+    groups to model layers by order, so the two groups are simply omitted.
     """
     params = variables["params"]
     batch_stats = variables["batch_stats"]
@@ -190,13 +195,16 @@ def crnn_variables_to_h5(variables: dict, path: str, include_top: bool = True) -
             (f"{name}/kernel:0", params[name]["kernel"]),
             (f"{name}/bias:0", params[name]["bias"]),
         ]
-    stn_entries = []
-    for ours, inner in zip(CRNN_STN_LAYERS, _STN_INNER_NAMES):
-        node = params["stn"][ours]
-        stn_entries.append((f"{inner}/kernel:0", node["kernel"]))
-        stn_entries.append((f"{inner}/bias:0", node["bias"]))
-    weights["model_2"] = stn_entries
     order = _CRNN_TOP_ORDER if include_top else _CRNN_BACKBONE_ORDER
+    if "stn" in params:
+        stn_entries = []
+        for ours, inner in zip(CRNN_STN_LAYERS, _STN_INNER_NAMES):
+            node = params["stn"][ours]
+            stn_entries.append((f"{inner}/kernel:0", node["kernel"]))
+            stn_entries.append((f"{inner}/bias:0", node["bias"]))
+        weights["model_2"] = stn_entries
+    else:
+        order = [n for n in order if n not in ("model_2", "lambda_1")]
     _write_h5(path, order, weights)
     return path
 

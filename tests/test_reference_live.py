@@ -500,6 +500,37 @@ def test_export_crnn_h5_roundtrip(ref, tmp_path):
     assert float(np.abs(my_features - ref_features).max()) < 1e-4
 
 
+def test_export_crnn_h5_roundtrip_no_stn(ref, tmp_path):
+    """``crnn_variables_to_h5`` for an ``stn=False`` build.
+
+    The offline head-to-head benchmark trains its from-scratch recognizer
+    without the STN; its exported weights must load into the reference's
+    own ``build_model(..., stn=False)`` graph (recognition.py:243-281 is
+    skipped entirely) and reproduce the softmax.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from keras_ocr_tpu.recognition import DEFAULT_BUILD_PARAMS, Recognizer
+    from keras_ocr_tpu.weights.export import crnn_variables_to_h5
+
+    alphabet = string.digits + string.ascii_lowercase
+    build_params = dict(DEFAULT_BUILD_PARAMS, stn=False)
+    mine = Recognizer(weights=None, alphabet=alphabet, build_params=build_params)
+    top = str(tmp_path / "exported_crnn_top_nostn.h5")
+    crnn_variables_to_h5(jax.tree.map(np.asarray, mine.variables), top, include_top=True)
+
+    theirs = ref.recognition.Recognizer(
+        weights=None, alphabet=alphabet, build_params=build_params
+    )
+    theirs.model.load_weights(top)
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, size=(2, 31, 200, 1)).astype("float32")
+    ref_soft = theirs.model.predict(X, verbose=0)
+    my_soft = np.asarray(mine.model.apply(mine.variables, jnp.asarray(X), train=False))
+    assert float(np.abs(my_soft - ref_soft).max()) < 1e-4
+
+
 def test_export_craft_pth_roundtrip(ref, tmp_path):
     """Our CRAFT -> ``save_craft_torch_checkpoint`` -> reference torch CRAFT.
 
