@@ -132,8 +132,16 @@ def download_pretrained(config: dict) -> str:
                 )
             path = tools.download_and_verify(url=url, filename=filename)
             if tools.md5sum(path) != expected:
-                os.remove(path)  # a stale cache copy must not stick around
-                raise ValueError(f"md5 mismatch for {path} (from {url})")
+                # download_and_verify with no sha256 trusts an existing
+                # cache file, so a corrupt cache is only caught here.
+                # Retry the same URL once after evicting it (a fresh
+                # download usually succeeds) before moving to the next
+                # mirror — mirrors download_and_extract's recovery.
+                os.remove(path)
+                path = tools.download_and_verify(url=url, filename=filename)
+                if tools.md5sum(path) != expected:
+                    os.remove(path)
+                    raise ValueError(f"md5 mismatch for {path} (from {url})")
             return path
         except Exception as exc:  # noqa: BLE001 - try the next mirror
             last_exc = exc

@@ -161,3 +161,35 @@ def test_detector_offline_raises_unless_fallback_opted_in(monkeypatch):
     with pytest.warns(UserWarning, match="RANDOM initialization"):
         detector = Detector(max_components=16, allow_random_fallback=True)
     assert detector.variables is not None
+
+
+def test_md5_corrupt_cache_retries_same_url(entry, monkeypatch, tmp_path):
+    """ADVICE r3: a corrupt cached md5-entry file must trigger one
+    re-download from the SAME url (download_and_verify without sha256
+    trusts any existing cache file) before falling through to mirrors."""
+    payload = b"good-bytes"
+    config = {
+        "url": "https://unreachable.invalid/release/eff.h5",
+        "filename": "eff.h5",
+        "md5": hashlib.md5(payload).hexdigest(),
+    }
+    cache = tmp_path / "md5cache"
+    cache.mkdir()
+    corrupt = cache / config["filename"]
+    corrupt.write_bytes(b"corrupt")
+    calls = []
+
+    def fake_download(url, filename=None, sha256=None, **kwargs):
+        calls.append(url)
+        target = cache / filename
+        if not target.is_file():
+            target.write_bytes(payload)  # the retry actually downloads
+        return str(target)
+
+    monkeypatch.setattr(weights_lib.tools, "download_and_verify", fake_download)
+    path = weights_lib.download_pretrained(config)
+    assert path == str(corrupt)
+    with open(path, "rb") as f:
+        assert f.read() == payload
+    # Both calls hit the canonical URL; no mirror was consulted.
+    assert calls == [config["url"], config["url"]]
