@@ -258,11 +258,11 @@ class Pipeline:
         mask_c = jnp.take_along_axis(mask, order, axis=1)
 
         win_h, win_w = WINDOW_LADDER[warp_level]
-        warp_signal = (
-            window_overflow(boxes_c, mask_c, win_h, win_w)
-            if warp_level < len(WINDOW_LADDER) - 1
-            else jnp.zeros(boxes_c.shape[0], bool)
-        )
+        # Computed at EVERY rung (a cheap AABB check), including the top:
+        # the live ladder only escalates below the top rung, but exported
+        # artifacts surface the bit as a "this crop took the antialiased
+        # downscale" diagnostic (ExportedPipeline.recognize).
+        warp_signal = window_overflow(boxes_c, mask_c, win_h, win_w)
 
         height, width, channels = self.recognizer.input_shape
         if channels == 1:
@@ -545,6 +545,15 @@ class Pipeline:
         # tier-1 whole-set rectangle may differ from the reference's
         # contours[0] fit — rerun with the fused tier-2 pass, escalating
         # its window/iteration ladder until its proofs hold.
+        #
+        # Unlike the component cap and sweep count, refine/warp levels are
+        # deliberately NOT sticky (_raise_sticky): multi-blob components
+        # and window-overflowing crops are rare per-image events (~1/25
+        # images at protocol level, PERF.md), and a sticky level would
+        # permanently add the tier-2 pass / larger windows to EVERY later
+        # call's hot path. The cost of being wrong is one extra cached
+        # relaunch on the rare affected call; the cost of stickiness would
+        # be paid on every call forever.
         refine_level = 0
         warp_level = 0
         while flag_bits(2) and refine_level < len(REFINE_LADDER):
@@ -801,6 +810,7 @@ class Pipeline:
         detection_kwargs: typing.Optional[dict] = None,
         max_words: typing.Optional[int] = None,
         platforms: typing.Optional[typing.Sequence[str]] = None,
+        refine_level: int = 1,
     ) -> str:
         """Serialize the fused pipeline for serving (AOT, weights baked in).
 
@@ -819,20 +829,32 @@ class Pipeline:
             batch_size: static batch the artifact serves.
             platforms: lowering platforms (e.g. ``["tpu", "cpu"]``);
                 default = current backend.
+            refine_level: contours[0] tier-2 pass baked into the static
+                program (1-based index into ``ops.refine.LADDER``; 0 =
+                tier-1 only). The default (1, a 128x512 window) covers
+                word-scale multi-blob components, so the artifact matches
+                the live pipeline's refine-ladder output on them (ref
+                semantics: detection.py:267-273); components its proofs
+                cannot handle surface as ``refine_pending`` in
+                :meth:`ExportedPipeline.recognize` diagnostics.
         """
         import json
 
         from jax import export as jax_export
 
+        from ..ops.refine import LADDER as REFINE_LADDER
+
         detection_kwargs = dict(detection_kwargs or {})
         max_words = max_words or self.max_words
+        refine_level = max(0, min(int(refine_level), len(REFINE_LADDER)))
         resize_to = (height * self.scale, width * self.scale)
-        # The artifact is static (no escalation relaunches), so pick the
-        # warp-window rung that fits ANY box the envelope can produce —
-        # every crop then takes the bit-exact slice path, matching what
-        # the live pipeline's warp_level escalation converges to. (The
-        # artifact serves tier-1 contours[0] semantics: the rare
-        # multi-blob refinement needs the dynamic ladder.)
+        # The artifact is static (no escalation relaunches). Use a rung
+        # that fits the whole post-scale envelope when one exists (every
+        # crop then takes the bit-exact slice path); for typical envelopes
+        # that exceed the tallest rung (256), serve the TOP rung: crops
+        # larger than it take its accepted antialiased downscale — exactly
+        # where the live ladder also stops — and each such image is
+        # flagged ``warp_downscaled`` in the serving diagnostics.
         from ..ops.warp import WINDOW_LADDER
 
         warp_level = next(
@@ -856,6 +878,7 @@ class Pipeline:
                 max_components=self.detector.max_components,
                 max_words=max_words,
                 resize_to=resize_to,
+                refine_level=refine_level,
                 warp_level=warp_level,
             )
 
@@ -878,6 +901,8 @@ class Pipeline:
                 // self.recognizer.build_params["pool_size"] ** 2
                 - self.recognizer.build_params["rnn_steps_to_discard"]
             ),
+            "refine_level": refine_level,
+            "warp_level": warp_level,
         }
         with open(path + ".json", "w") as f:
             json.dump(meta, f)
@@ -898,7 +923,31 @@ class ExportedPipeline:
         self.meta = meta
         self.alphabet = meta["alphabet"]
 
-    def recognize(self, images):
+    def recognize(self, images, return_diagnostics: bool = False):
+        """Serve one batch; optionally surface per-image health flags.
+
+        With ``return_diagnostics=True`` returns ``(results, diags)``
+        where each diag dict reports where the static artifact may
+        diverge from the live pipeline's escalation ladder
+        (pipeline/__init__.py _fetch_escalating):
+
+        * ``n_components``: thresholded components the kernel found;
+          components beyond the baked ``max_components`` cap were
+          dropped in raster order.
+        * ``converged``: component labeling converged within the baked
+          sweep count.
+        * ``refine_pending``: a multi-blob component's contours[0]
+          refinement is beyond the baked ``refine_level`` — its box may
+          be a superset of the reference's (detection.py:267-273).
+        * ``warp_downscaled``: a word crop exceeded the warp source
+          window and took the antialiased downscale instead of the
+          bit-exact slice path (ops/warp.py).
+        * ``truncated``: every word slot filled — the scene may hold
+          more than ``max_words`` words.
+
+        Artifacts exported before the diagnostic columns existed return
+        ``None`` for the flag-derived fields.
+        """
         from ..ops import ctc as ctc_ops
 
         height, width = self.meta["height"], self.meta["width"]
@@ -923,13 +972,34 @@ class ExportedPipeline:
         # the trailing ncomp/converged columns have width 9+T, newer ones
         # 9+T+1 or 9+T+2 — a fixed negative slice would silently drop
         # trailing timesteps on the former.
-        decoded = packed[..., 9 : 9 + self.meta["ctc_time"]].astype("int32")
-        results = []
+        ctc_time = self.meta["ctc_time"]
+        decoded = packed[..., 9 : 9 + ctc_time].astype("int32")
+        has_diag_columns = packed.shape[-1] >= 9 + ctc_time + 2
+        results, diags = [], []
         for i in range(len(images)):
             valid = mask[i]
             words = ctc_ops.ctc_decode_to_strings(decoded[i][valid], self.alphabet)
             image_boxes = boxes[i][valid].astype("float32") / self.meta["scale"]
             results.append(list(zip(words, [box for box in image_boxes])))
+            if return_diagnostics:
+                diag = {
+                    "truncated": bool(valid.all()) and valid.size > 0,
+                    "n_components": None,
+                    "converged": None,
+                    "refine_pending": None,
+                    "warp_downscaled": None,
+                }
+                if has_diag_columns:
+                    flags = int(packed[i, 0, 9 + ctc_time + 1])
+                    diag.update(
+                        n_components=int(packed[i, 0, 9 + ctc_time]),
+                        converged=bool(flags & 1),
+                        refine_pending=bool(flags & 2),
+                        warp_downscaled=bool(flags & 4),
+                    )
+                diags.append(diag)
+        if return_diagnostics:
+            return results, diags
         return results
 
 

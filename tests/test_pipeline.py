@@ -767,3 +767,65 @@ def test_exported_pipeline_slices_by_artifact_ctc_time():
         [(word, box)] = served.recognize([image])[0:1][0]
         assert word == "aba", (extra_cols, word)
         assert box.shape == (4, 2)
+
+
+def test_export_matches_live_on_multiblob_scene(tmp_path):
+    """VERDICT r3 item 6: the exported artifact's default refine baking
+    must reproduce the LIVE pipeline's refine-ladder output on a
+    multi-blob component (ref contours[0] semantics, detection.py:267-273)
+    — and surface clean diagnostics for it."""
+    import os
+    import string
+    import sys
+
+    import jax.numpy as jnp
+
+    from keras_ocr_tpu.pipeline import load_exported
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_refine import _multiblob_heatmap
+
+    hm = _multiblob_heatmap(np.random.RandomState(5), n_words=2)
+
+    class _FakeCraft:
+        """Shape-compatible CRAFT stand-in emitting a fixed heatmap."""
+
+        def __init__(self, heatmap):
+            self.heatmap = jnp.asarray(heatmap)
+
+        def apply(self, variables, x, train=False):
+            del variables, train
+            return jnp.broadcast_to(
+                self.heatmap[None], (x.shape[0],) + self.heatmap.shape
+            )
+
+    detector = Detector(weights=None, max_components=16)
+    detector.model = _FakeCraft(hm)
+    recognizer = Recognizer(
+        weights=None, alphabet=string.digits + string.ascii_lowercase
+    )
+    image_height, image_width = hm.shape[0] * 2, hm.shape[1] * 2
+    pipeline = keras_ocr_tpu.Pipeline(
+        detector=detector, recognizer=recognizer, scale=1, max_words=8,
+        pad_to=(image_height, image_width),
+    )
+    image = np.zeros((image_height, image_width, 3), dtype="uint8")
+
+    live = pipeline.recognize(images=[image])[0]
+    assert pipeline.last_run_stats["refine_escalations"] >= 1
+    assert len(live) >= 2
+
+    artifact_path = os.path.join(str(tmp_path), "ocr_multiblob")
+    pipeline.export(artifact_path, height=image_height, width=image_width)
+    served = load_exported(artifact_path)
+    exported, diags = served.recognize([image], return_diagnostics=True)
+    exported = exported[0]
+
+    assert [w for w, _ in exported] == [w for w, _ in live]
+    for (_, box_a), (_, box_b) in zip(exported, live):
+        np.testing.assert_allclose(box_a, box_b, atol=1e-4)
+    assert diags[0]["refine_pending"] is False
+    assert diags[0]["warp_downscaled"] is False
+    assert diags[0]["converged"] is True
+    assert diags[0]["truncated"] is False
+    assert diags[0]["n_components"] >= 2
