@@ -33,7 +33,10 @@ def _accumulate_warp(canvas: np.ndarray, template: np.ndarray, dst_quad: np.ndar
         ],
         dtype="float32",
     )
-    M = tools.get_perspective_transform(src, dst_quad.astype("float32"))
+    try:
+        M = tools.get_perspective_transform(src, dst_quad.astype("float32"))
+    except np.linalg.LinAlgError:
+        return  # degenerate destination quad — see the skip note below
     # Only evaluate inside the quad's bounding box (big speedup over a
     # full-canvas warp; identical output since outside is zero).
     x0 = int(np.clip(np.floor(dst_quad[:, 0].min()), 0, width))
@@ -42,7 +45,18 @@ def _accumulate_warp(canvas: np.ndarray, template: np.ndarray, dst_quad: np.ndar
     y1 = int(np.clip(np.ceil(dst_quad[:, 1].max()) + 1, 0, height))
     if x1 <= x0 or y1 <= y0:
         return
-    Minv = np.linalg.inv(M)
+    # Degenerate quads (collinear/coincident corners — e.g. the link quad
+    # of two tiny overlapping character boxes at small font sizes) have a
+    # singular homography. cv2.warpPerspective inverts M internally and
+    # silently produces an empty patch in that case (the reference's
+    # behavior at detection.py:177-190), so skipping is the faithful
+    # equivalent of "no contribution", not a semantic change.
+    try:
+        Minv = np.linalg.inv(M)
+    except np.linalg.LinAlgError:
+        return
+    if not np.isfinite(Minv).all():
+        return
     xs, ys = np.meshgrid(
         np.arange(x0, x1, dtype="float64"), np.arange(y0, y1, dtype="float64")
     )

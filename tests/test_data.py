@@ -227,3 +227,23 @@ def test_detection_compute_maps_alias():
     from keras_ocr_tpu.data import detection_targets
 
     assert detection.compute_maps is detection_targets.compute_maps
+
+
+def test_compute_maps_degenerate_quads_do_not_crash():
+    """Tiny/overlapping character boxes (small-font synthetic scenes)
+    produce singular link-quad homographies; cv2.warpPerspective silently
+    emits an empty patch there (ref detection.py:177-190), so the GT
+    builder must skip the contribution, not raise LinAlgError."""
+    import numpy as np
+
+    from keras_ocr_tpu.data.detection_targets import compute_maps
+    from keras_ocr_tpu.detection import get_gaussian_heatmap
+
+    template = get_gaussian_heatmap(32).astype("float32")
+    point = np.array([[5, 5], [5.0001, 5], [5.0001, 5.0001], [5, 5.0001]])
+    real = np.array([[10, 10], [20, 10], [20, 18], [10, 18]], "float64")
+    lines = [[(point, "a"), (point, "b"), (real, "c")]]
+    maps = compute_maps(template, 64, 64, lines)
+    assert maps.shape == (32, 32, 2)
+    assert np.isfinite(maps).all()
+    assert maps[..., 0].sum() > 0  # the real box still contributes
