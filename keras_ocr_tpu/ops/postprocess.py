@@ -329,21 +329,21 @@ def component_analysis(
     # a convergence proof; flagged components get the exact per-component
     # windowed treatment in ops/refine.py.
     iota_seg = jnp.arange(num_segments, dtype=jnp.int32)
+    onehot_px = comp[..., None] == iota_seg  # (H, W, S) bool
+    # Per-pixel dilation budgets: a table lookup budgets[comp], expressed
+    # as masked reductions over the one-hot compare so XLA fuses the
+    # compare into each reduce and never materializes the (H, W, S)
+    # plane — the previous einsum form forced a float32 one-hot operand
+    # into HBM (~300 MB/image at 480x640xS=257), several ms of pure
+    # bandwidth per batch on the tier-1 hot path (ADVICE r3 #4).
+    def per_pixel(values):
+        return jnp.sum(jnp.where(onehot_px, values[None, None, :], 0.0), axis=2)
+
+    grow_a = per_pixel(jnp.concatenate([a, jnp.zeros((1,), a.dtype)]))
+    grow_b = per_pixel(jnp.concatenate([b, jnp.zeros((1,), b.dtype)]))
     valid_ext = jnp.concatenate([valid0, jnp.zeros((1,), bool)])
-    budgets = jnp.stack(
-        [
-            jnp.concatenate([a, jnp.zeros((1,), a.dtype)]),
-            jnp.concatenate([b, jnp.zeros((1,), b.dtype)]),
-            valid_ext.astype(jnp.float32),
-        ],
-        axis=1,
-    )  # (S, 3)
-    onehot_px = (comp[..., None] == iota_seg).astype(jnp.float32)  # (H, W, S)
-    grow = jnp.einsum("hws,st->hwt", onehot_px, budgets)  # (H, W, 3)
-    seeds = segmask & (grow[..., 2] > 0.5)  # valid comps only
-    cover, cover_comp = brushfire_dilate(
-        seeds, comp, grow[..., 0], grow[..., 1]
-    )
+    seeds = segmask & (per_pixel(valid_ext.astype(jnp.float32)) > 0.5)  # valid comps
+    cover, cover_comp = brushfire_dilate(seeds, comp, grow_a, grow_b)
     dil_label = label_blobs_keyed(cover, cover_comp, num_sweeps=num_sweeps)
     flat_idx = jnp.arange(height * width, dtype=jnp.int32).reshape(height, width)
     is_dilroot = (dil_label == flat_idx) & cover

@@ -245,7 +245,13 @@ WINDOW_LADDER = ((64, 512), (128, 1024), (256, 2048))
 
 @functools.partial(
     jax.jit,
-    static_argnames=("target_height", "target_width", "window_height", "window_width"),
+    static_argnames=(
+        "target_height",
+        "target_width",
+        "window_height",
+        "window_width",
+        "word_chunk",
+    ),
 )
 def warp_boxes_batch(
     images: jnp.ndarray,
@@ -254,8 +260,19 @@ def warp_boxes_batch(
     target_width: int = 200,
     window_height: int = 64,
     window_width: int = 512,
+    word_chunk: int = 8,
 ) -> jnp.ndarray:
-    """(B, H, W[, C]) images x (B, N, 4, 2) boxes -> (B, N, th, tw[, C])."""
+    """(B, H, W[, C]) images x (B, N, 4, 2) boxes -> (B, N, th, tw[, C]).
+
+    ``word_chunk`` bounds HBM: the resampling one-hot matrices cost
+    ~15-25 MB per (image x word) pair, so vmapping all B x N pairs at once
+    peaks at ~10 GB for a 32-image x 16-word batch (the round-3 batch-32
+    OOM). Words are instead processed ``word_chunk`` at a time through a
+    ``lax.map`` loop whose buffers XLA reuses across iterations, capping
+    the live set at B x word_chunk pairs. The loop is over words (never
+    the batch), so per-chunk work stays wide enough for the MXU; 0 means
+    no chunking.
+    """
     fn = functools.partial(
         warp_boxes,
         target_height=target_height,
@@ -263,7 +280,24 @@ def warp_boxes_batch(
         window_height=window_height,
         window_width=window_width,
     )
-    return jax.vmap(fn)(images, boxes)
+    batch, num = boxes.shape[0], boxes.shape[1]
+    if not word_chunk or num <= word_chunk:
+        return jax.vmap(fn)(images, boxes)
+    pad = -num % word_chunk
+    if pad:
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((batch, pad) + boxes.shape[2:], boxes.dtype)],
+            axis=1,
+        )
+    k = (num + pad) // word_chunk
+    chunks = jnp.moveaxis(
+        boxes.reshape(batch, k, word_chunk, 4, 2), 1, 0
+    )  # (K, B, chunk, 4, 2)
+    crops = jax.lax.map(lambda cb: jax.vmap(fn)(images, cb), chunks)
+    crops = jnp.moveaxis(crops, 0, 1).reshape(
+        (batch, k * word_chunk) + crops.shape[3:]
+    )
+    return crops[:, :num]
 
 
 def window_overflow(boxes: jnp.ndarray, mask: jnp.ndarray, window_height: int, window_width: int):

@@ -126,6 +126,10 @@ class Pipeline:
         self.last_run_stats = _new_run_stats()
         self.size_bucket = size_bucket
         self.pad_to = pad_to
+        # Static sub-batch size for the CRAFT forward inside the fused
+        # program (see _device_pipeline); bounds the full-resolution
+        # block1 activation memory so large serving batches fit HBM.
+        self._detector_chunk = 16
         # Optional data-parallel inference: shard the image batch over the
         # mesh's ``data`` axis, params replicated — the SURVEY §2c
         # inference scale-out design. XLA partitions the fused program
@@ -211,7 +215,32 @@ class Pipeline:
             # heatmaps (4x smaller than the input) come back batch-sharded
             # for the (row-global) post-processing reductions.
             x = jax.lax.with_sharding_constraint(x, self._spatial_sharding)
-        heatmaps = self.detector.model.apply(det_variables, x, train=False)
+
+        def craft(x_chunk):
+            return self.detector.model.apply(det_variables, x_chunk, train=False)
+
+        batch_size = x.shape[0]
+        # CRAFT's block1 runs two full-resolution 64-channel activations
+        # (padded 2x to the 128-lane layout) — ~0.3 GB per image at the
+        # 960x1280 serving shape, and both are live across the second
+        # conv. Above `_detector_chunk` images, the forward runs over
+        # sub-batches through lax.map so XLA reuses the block1 buffers
+        # across iterations instead of allocating batch x 2 of them (the
+        # round-3 batch-32 OOM after the warp stage was chunked). Each
+        # chunk is still MXU-wide; meshes handle capacity by sharding, so
+        # sharded programs keep the unchunked form XLA SPMD partitions.
+        chunk = 0 if self.mesh is not None else self._detector_chunk
+        if chunk and batch_size > chunk:
+            while batch_size % chunk:  # largest divisor <= the setting
+                chunk -= 1
+            if chunk > 1:
+                xs = x.reshape((batch_size // chunk, chunk) + x.shape[1:])
+                heatmaps = jax.lax.map(craft, xs)
+                heatmaps = heatmaps.reshape((batch_size,) + heatmaps.shape[2:])
+            else:
+                heatmaps = craft(x)
+        else:
+            heatmaps = craft(x)
         if self._spatial:
             heatmaps = jax.lax.with_sharding_constraint(
                 heatmaps, self._batch_sharding

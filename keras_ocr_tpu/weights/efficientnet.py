@@ -22,8 +22,6 @@ stem reproduces the pretrained models' expected input distribution.
 
 from __future__ import annotations
 
-import typing
-
 import numpy as np
 
 # keras-applications ImageNet checkpoints (notop = feature extractor

@@ -85,6 +85,25 @@ def test_warp_boxes_batch_shape():
     assert crops.shape == (2, 3, 31, 200)
 
 
+@pytest.mark.parametrize("num_boxes", [13, 16])
+def test_warp_boxes_batch_word_chunking_identical(num_boxes):
+    """The lax.map word-chunk loop (the batch-32 HBM fix) must return
+    bit-identical crops to the all-at-once vmap, including when the word
+    count does not divide the chunk (zero-padded tail boxes)."""
+    rng = np.random.RandomState(11)
+    images = jnp.asarray(rng.rand(2, 80, 120).astype("float32") * 255)
+    boxes = []
+    for _ in range(2 * num_boxes):
+        x, y = rng.randint(0, 70), rng.randint(0, 50)
+        w, h = rng.randint(8, 40), rng.randint(6, 20)
+        boxes.append([[x, y], [x + w, y], [x + w, y + h], [x, y + h]])
+    boxes = jnp.asarray(np.array(boxes, dtype="float32").reshape(2, num_boxes, 4, 2))
+    chunked = np.asarray(warp_ops.warp_boxes_batch(images, boxes, word_chunk=4))
+    whole = np.asarray(warp_ops.warp_boxes_batch(images, boxes, word_chunk=0))
+    assert chunked.shape == whole.shape == (2, num_boxes, 31, 200)
+    np.testing.assert_array_equal(chunked, whole)
+
+
 def _structured_image(rng, height, width):
     """Blurred noise + text-like bars: structured but not adversarial."""
     from scipy import ndimage
