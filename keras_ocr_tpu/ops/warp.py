@@ -239,7 +239,12 @@ def warp_boxes(
 # stays bit-exact without paying the big window's memory. At the ladder
 # top the (measured, tests/test_warp.py) mildly-antialiased downscale is
 # accepted: words wider than 2048 px exceed anything the 31x200
-# recognizer input meaningfully resolves.
+# recognizer input meaningfully resolves. Quantified at protocol level
+# (test_warp_boxes_giant_crop_top_rung_bounded_error): for 0.9-3k px
+# crops past the top rung, the final (31, 200) recognizer canvas differs
+# from the reference's exact point-sampled warp by MEAN 0.3-1.0 gray
+# levels, p99 <= 10/255 — the canvas is itself a heavy downscale of such
+# crops, so the intermediate antialiasing washes out.
 WINDOW_LADDER = ((64, 512), (128, 1024), (256, 2048))
 
 
