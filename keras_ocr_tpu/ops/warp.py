@@ -241,10 +241,15 @@ def warp_boxes(
 # accepted: words wider than 2048 px exceed anything the 31x200
 # recognizer input meaningfully resolves. Quantified at protocol level
 # (test_warp_boxes_giant_crop_top_rung_bounded_error): for 0.9-3k px
-# crops past the top rung, the final (31, 200) recognizer canvas differs
-# from the reference's exact point-sampled warp by MEAN 0.3-1.0 gray
-# levels, p99 <= 10/255 — the canvas is itself a heavy downscale of such
-# crops, so the intermediate antialiasing washes out.
+# crops past the top rung, the final (31, 200) recognizer canvas — the
+# exact array the recognizer consumes, including the zero padding that a
+# squat crop letterboxes in — differs from the reference's exact
+# point-sampled warp by MEAN 0.3-1.0 gray levels, p99 <= 10/255.
+# Restricted to the valid crop content (the int(scale*h) x int(scale*w)
+# region, excluding shared padding) the mean is ~2x higher (~2.2 gray
+# levels for a 3000x200 crop; asserted <= 4.0 in the same test) — the
+# canvas is itself a heavy downscale of such crops, so the intermediate
+# antialiasing washes out either way.
 WINDOW_LADDER = ((64, 512), (128, 1024), (256, 2048))
 
 
