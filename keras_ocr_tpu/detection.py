@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from scipy import ndimage as _ndimage
 
 from . import tools
-from .models.craft import CRAFT
+from .models.craft import CRAFT, fold_bn_variables
 from .ops import image as image_ops
 from .ops import postprocess as postprocess_ops
 
@@ -239,6 +239,8 @@ class Detector:
         compute_dtype=jnp.float32,
         max_components: int = 256,
         allow_random_fallback: bool = False,
+        fold_bn: bool = False,
+        width: float = 1.0,
     ):
         from . import config as config_lib
         from . import weights as weights_lib
@@ -247,7 +249,16 @@ class Detector:
         self.backbone_name = backbone_name
         self.optimizer_name = optimizer
         self.max_components = max_components
-        self.model = CRAFT(backbone_name=backbone_name, dtype=compute_dtype)
+        self.fold_bn = fold_bn
+        self.width = width
+        if width != 1.0:
+            assert weights is None, "width != 1.0 has no pretrained weights"
+        self.model = CRAFT(
+            backbone_name=backbone_name,
+            fold_bn=fold_bn,
+            width=width,
+            dtype=compute_dtype,
+        )
         self.variables = None
         if weights is not None:
             pretrained_key = (weights, load_from_torch)
@@ -270,6 +281,11 @@ class Detector:
                 )
             else:
                 self.variables = weights_lib.load_craft_weights(weights_path)
+                if fold_bn:
+                    # Inference-only: absorb every BatchNorm into its conv
+                    # (pure param transform, parity ~1e-6 fp32 — see
+                    # models/craft.py:fold_bn_variables).
+                    self.variables = fold_bn_variables(self.variables)
         if self.variables is None:
             from .models import init_variables
 

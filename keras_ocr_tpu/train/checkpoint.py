@@ -57,6 +57,43 @@ def save(path: str, variables) -> str:
         return path
 
 
+def save_npz(path: str, variables, cast: typing.Optional[type] = None) -> str:
+    """Save a variable tree as ONE compressed .npz file (no orbax).
+
+    For artifacts that must be a single committable file — e.g. the
+    offline golden checkpoints under tests/fixtures/golden_offline/.
+    ``cast=np.float16`` halves the file; float params round-trip through
+    f16 with ~1e-3 relative error, verified acceptable at artifact
+    creation time by re-running the golden selection from the saved file
+    (scripts/make_golden_artifact.py).
+    """
+    flat = _flatten(jax.tree.map(np.asarray, variables))
+    if cast is not None:
+        flat = {
+            key: value.astype(cast)
+            if np.issubdtype(value.dtype, np.floating)
+            else value
+            for key, value in flat.items()
+        }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flat)
+    return path
+
+
+def restore_npz(path: str, cast: typing.Optional[type] = np.float32) -> dict:
+    """Restore a tree saved by :func:`save_npz`, upcasting floats."""
+    with np.load(path) as data:
+        flat = {key: data[key] for key in data.files}
+    if cast is not None:
+        flat = {
+            key: value.astype(cast)
+            if np.issubdtype(value.dtype, np.floating)
+            else value
+            for key, value in flat.items()
+        }
+    return _unflatten(flat)
+
+
 def restore(path: str) -> dict:
     """Restore a variable tree saved by :func:`save`."""
     if path.endswith(".npz") or os.path.isfile(path + ".npz"):

