@@ -12,6 +12,11 @@ Prints ONE JSON line with the driver contract keys
     (reference tests/test_pipeline.py:19-20 — exactly one prediction,
     text == "eventdock", on tests/test_image.jpg) run with the real
     pretrained weights; "pass"/"fail"/"skipped(...)".
+  - "golden_offline": the hermetic analog that needs NO network — the
+    committed offline-trained artifact (tests/fixtures/golden_offline/)
+    rerun against its recorded words; "pass(...)"/"fail(...)".
+  - "run_stats": pipeline escalation counters aggregated over every
+    timed call (relaunch storms would inflate latency; this shows them).
   - "coco": the quality north star — the full COCO-Text val protocol
     (first N val images, IoU>=0.5 AND similarity>=0.5, case/punctuation
     ignored; reference README.md:57-73) at scale=2, run in a bounded
@@ -168,6 +173,33 @@ def golden_check(pipeline, provenance):
         if words32 == ["eventdock"]:
             return f"pass(fp32 only; bf16 predicted {words!r})"
         return f"fail(bf16 {words!r}, fp32 {words32!r})"
+    except Exception as exc:  # noqa: BLE001 - golden must never kill the bench
+        return f"fail({type(exc).__name__}: {exc})"
+
+
+def golden_offline_check():
+    """Meaningful-weights end-to-end pass/fail with ZERO network.
+
+    The committed artifact (tests/fixtures/golden_offline/, built by
+    scripts/make_golden_artifact.py) holds offline-trained slim
+    checkpoints + fixture scenes + the words the trained pipeline
+    verifiably reads. This reruns those scenes and scores word
+    reproduction — so every round has a quality signal even when the
+    pretrained downloads are dead (VERDICT r4 item 3; the reference
+    analog is tests/test_pipeline.py:19-20).
+    """
+    artifact_dir = os.path.join(REPO_ROOT, "tests", "fixtures", "golden_offline")
+    try:
+        from keras_ocr_tpu.utils import golden as golden_lib
+
+        if not golden_lib.artifact_available(artifact_dir):
+            return "skipped(no artifact)"
+        result = golden_lib.run_golden_check(artifact_dir)
+        status = "pass" if result["pass"] else "fail"
+        return (
+            f"{status}(fraction={result['fraction']}, "
+            f"{result['n_words']} words / {result['n_scenes']} scenes)"
+        )
     except Exception as exc:  # noqa: BLE001 - golden must never kill the bench
         return f"fail({type(exc).__name__}: {exc})"
 
@@ -388,6 +420,7 @@ def measure():
         "weights": provenance,
         "run_stats": run_stats_total,
         "golden_eventdock": golden_check(pipeline, provenance),
+        "golden_offline": golden_offline_check(),
     }
     mfu = estimate_mfu(pipeline, images, batch_size, ips)
     if mfu:

@@ -44,7 +44,10 @@ from keras_ocr_tpu.data import generation
 from keras_ocr_tpu.data.wordlist import WORDS
 
 ALPHABET = string.digits + string.ascii_lowercase
-SCENE_HEIGHT, SCENE_WIDTH = 256, 320
+# Default scene shape = the PROTOCOL shape (bench.py / COCO-Text-like
+# 640x480, VERDICT r4 item 4); --scene-height/--scene-width override
+# (round 1-4 head-to-heads ran 256x320).
+SCENE_HEIGHT, SCENE_WIDTH = 480, 640
 DEJAVU_DIR = "/usr/share/fonts/truetype/dejavu"
 # Train/eval font split: the eval stream includes the Serif faces the
 # models never saw in training, so recognition must generalize across
@@ -121,7 +124,14 @@ def text_sampler(seed):
         yield " ".join(words)
 
 
-def hard_scene_stream(seed, fontsize=(9, 20), rotation_z=25, fonts=EVAL_FONTS):
+def hard_scene_stream(
+    seed,
+    fontsize=(9, 20),
+    rotation_z=25,
+    fonts=EVAL_FONTS,
+    height=None,
+    width=None,
+):
     """Endless (image, lines) stream over the hard distribution.
 
     ``get_image_generator`` consumes module-level RNGs (reference
@@ -137,13 +147,15 @@ def hard_scene_stream(seed, fontsize=(9, 20), rotation_z=25, fonts=EVAL_FONTS):
     ground truth degenerate rather than hard. Z-rotation up to +/-18
     degrees wraps cleanly.
     """
+    height = SCENE_HEIGHT if height is None else height
+    width = SCENE_WIDTH if width is None else width
     np.random.seed(seed)
     random.seed(seed)
     rng = np.random.RandomState(seed)
-    backgrounds = make_backgrounds(48, SCENE_HEIGHT, SCENE_WIDTH, rng)
+    backgrounds = make_backgrounds(48, height, width, rng)
     return generation.get_image_generator(
-        height=SCENE_HEIGHT,
-        width=SCENE_WIDTH,
+        height=height,
+        width=width,
         font_groups={ALPHABET + " ": available_fonts(fonts)},
         text_generator=text_sampler(seed + 1),
         font_size=fontsize,
@@ -408,38 +420,163 @@ def detector_recall(true, pred):
     return hits / max(total, 1)
 
 
+def _text_similarity(true_text, pred_text):
+    if not true_text and not pred_text:
+        return 1.0
+    return 1.0 - evaluation.levenshtein(true_text, pred_text) / max(
+        len(true_text), len(pred_text), 1
+    )
+
+
+def failure_buckets(true, pred, iou_threshold=0.5, similarity_threshold=0.5):
+    """Attribute every GT word and every prediction (VERDICT r4 item 4).
+
+    GT-side outcomes (recall misses split by subsystem):
+      * ``matched``     — a localized prediction reads the text;
+      * ``wrong_text``  — some prediction overlaps at IoU>=t but none of
+        the overlapping ones clears the similarity bar (recognizer/crop
+        failure);
+      * ``missed_box``  — NO prediction overlaps at IoU>=t (detector /
+        post-processing failure).
+    Prediction-side: ``spurious_box`` counts predictions overlapping no
+    GT word (precision losses beyond wrong_text).
+
+    Returns (buckets dict, per_word dict keyed by (image_id, gt_index))
+    — the per-word map powers the paired ours-vs-reference disagreement
+    listing. Attribution is existence-based (not the scorer's greedy
+    one-to-one), so counts can differ from score()'s P/R by design.
+    """
+    buckets = {"matched": 0, "wrong_text": 0, "missed_box": 0, "spurious_box": 0}
+    per_word = {}
+    for key, annotations in true.items():
+        predictions = pred.get(key, [])
+        overlapped = set()
+        for t_index, ann in enumerate(annotations):
+            localized = []
+            for p_index, prediction in enumerate(predictions):
+                if (
+                    evaluation.iou_score(ann["vertices"], prediction["vertices"])
+                    >= iou_threshold
+                ):
+                    localized.append(p_index)
+                    overlapped.add(p_index)
+            if not localized:
+                outcome = "missed_box"
+            else:
+                best = max(
+                    _text_similarity(ann["text"], predictions[p]["text"])
+                    for p in localized
+                )
+                outcome = (
+                    "matched" if best >= similarity_threshold else "wrong_text"
+                )
+            buckets[outcome] += 1
+            per_word[(key, t_index)] = outcome
+        buckets["spurious_box"] += len(predictions) - len(overlapped)
+    return buckets, per_word
+
+
+def disagreements(true, ours_per_word, reference_per_word, ours_pred, ref_pred):
+    """Paired per-GT-word comparison: every word the two systems treat
+    differently, with both outcomes and both systems' overlapping texts —
+    the 0.3pt-recall-gap question answered word by word, since both
+    pipelines ran the SAME weights on the SAME scenes (sampling noise is
+    excluded by pairing)."""
+    rows = []
+    for key, annotations in true.items():
+        for t_index, ann in enumerate(annotations):
+            ours_outcome = ours_per_word.get((key, t_index), "missing")
+            ref_outcome = reference_per_word.get((key, t_index), "missing")
+            if ours_outcome == ref_outcome:
+                continue
+
+            def texts(predictions):
+                return [
+                    p["text"]
+                    for p in predictions.get(key, [])
+                    if evaluation.iou_score(ann["vertices"], p["vertices"]) >= 0.5
+                ]
+
+            rows.append(
+                {
+                    "scene": key,
+                    "gt": ann["text"],
+                    "ours": ours_outcome,
+                    "reference": ref_outcome,
+                    "ours_texts": texts(ours_pred),
+                    "reference_texts": texts(ref_pred),
+                }
+            )
+    return rows
+
+
 def scored(true, pred, latencies):
     _, (precision, recall) = evaluation.score(
         true, pred, iou_threshold=0.5, similarity_threshold=0.5
     )
+    buckets, per_word = failure_buckets(true, pred)
     return {
         "precision": round(precision, 4),
         "recall": round(recall, 4),
         "detector_recall_iou50": round(detector_recall(true, pred), 4),
+        "failure_buckets": buckets,
         "p50_latency_ms": round(float(np.median(latencies)) * 1000, 2),
-    }
+    }, per_word
 
 
 def main():
+    global SCENE_HEIGHT, SCENE_WIDTH
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--detector-steps", type=int, default=800)
     parser.add_argument("--recognizer-steps", type=int, default=4000)
     parser.add_argument("--pool-scenes", type=int, default=300)
-    parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--eval-scenes", type=int, default=200)
+    # Detector batch 4 (not 8): protocol-sized scenes mean 960x1280
+    # detector training inputs, and batch 8 fwd+bwd does not fit HBM.
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--eval-scenes", type=int, default=300)
+    parser.add_argument("--scene-height", type=int, default=SCENE_HEIGHT)
+    parser.add_argument("--scene-width", type=int, default=SCENE_WIDTH)
     parser.add_argument("--scale", type=int, default=2)
     parser.add_argument("--workdir", default="headtohead_work")
     parser.add_argument("--retrain", action="store_true")
     parser.add_argument("--skip-reference", action="store_true")
+    parser.add_argument("--reference-scenes", type=int, default=None,
+                        help="cap the (CPU TF, slow) reference eval to the "
+                        "first N scenes; ours still runs all of them")
     parser.add_argument("--output", default="e2e_synthetic_results.json")
     args = parser.parse_args()
+    SCENE_HEIGHT, SCENE_WIDTH = args.scene_height, args.scene_width
 
     train_meta = {
         "detector_steps": args.detector_steps,
         "recognizer_steps": args.recognizer_steps,
         "pool_scenes": args.pool_scenes,
+        "scene_size": [SCENE_HEIGHT, SCENE_WIDTH],
     }
     models = None if args.retrain else load_trained(args.workdir)
+    if models is not None:
+        # Cached weights must match the requested scene shape: weights
+        # trained on 256x320 scenes see 2x-smaller glyphs than protocol
+        # 480x640 scenes render, and silently mixing them would make the
+        # head-to-head meaningless (both systems would be equally wrong,
+        # but about a distribution nobody asked for).
+        meta_path = os.path.join(args.workdir, "train_meta.json")
+        cached_meta = None
+        if os.path.isfile(meta_path):
+            with open(meta_path, encoding="utf8") as f:
+                cached_meta = json.load(f)
+        if not cached_meta or cached_meta.get("scene_size") != [
+            SCENE_HEIGHT,
+            SCENE_WIDTH,
+        ]:
+            print(
+                f"cached weights in {args.workdir} were trained at "
+                f"{(cached_meta or {}).get('scene_size')} != "
+                f"[{SCENE_HEIGHT}, {SCENE_WIDTH}]; retraining",
+                flush=True,
+            )
+            models = None
     if models is None:
         detector, recognizer = train_models(args, scale=args.scale)
         craft_path, crnn_path = export_weights(
@@ -450,11 +587,10 @@ def main():
         craft_path = os.path.join(args.workdir, "craft_trained.h5")
         crnn_path = os.path.join(args.workdir, "crnn_trained.h5")
         meta_path = os.path.join(args.workdir, "train_meta.json")
-        if os.path.isfile(meta_path):
-            # Cached weights: report the steps they were ACTUALLY trained
-            # with, not this invocation's CLI defaults.
-            with open(meta_path, encoding="utf8") as f:
-                train_meta = json.load(f)
+        # Cached weights: report the steps they were ACTUALLY trained
+        # with, not this invocation's CLI defaults.
+        with open(meta_path, encoding="utf8") as f:
+            train_meta = json.load(f)
         print(f"loaded trained weights from {args.workdir}", flush=True)
 
     eval_scenes = render_scenes(hard_scene_stream(seed=990_001), args.eval_scenes)
@@ -463,18 +599,39 @@ def main():
     print(f"eval set: {len(eval_scenes)} scenes, {n_words} words", flush=True)
 
     ours_pred, ours_lat = evaluate_ours(detector, recognizer, eval_scenes, args.scale)
-    ours = scored(true, ours_pred, ours_lat)
+    ours, ours_per_word = scored(true, ours_pred, ours_lat)
     print(f"ours: {ours}", flush=True)
 
     reference = None
+    paired = None
     if not args.skip_reference:
+        ref_scenes = eval_scenes
+        ref_true = true
+        if args.reference_scenes and args.reference_scenes < len(eval_scenes):
+            ref_scenes = eval_scenes[: args.reference_scenes]
+            ref_true = {
+                f"scene-{index}": true[f"scene-{index}"]
+                for index in range(len(ref_scenes))
+            }
         ref_pred, ref_lat = evaluate_reference(
-            craft_path, crnn_path, eval_scenes, args.scale
+            craft_path, crnn_path, ref_scenes, args.scale
         )
         if ref_pred is not None:
-            reference = scored(true, ref_pred, ref_lat)
+            reference, ref_per_word = scored(ref_true, ref_pred, ref_lat)
             reference["device"] = "cpu (TF in-process)"
+            reference["n_scenes"] = len(ref_scenes)
             print(f"reference: {reference}", flush=True)
+            # Paired disagreement listing over the scenes BOTH systems ran
+            # (same weights, same scenes — the r4 0.3pt recall-gap
+            # question, answered word by word).
+            ours_subset = {key: ours_pred.get(key, []) for key in ref_true}
+            _, ours_sub_per_word = scored(
+                ref_true, ours_subset, ours_lat[: len(ref_scenes)]
+            )
+            paired = disagreements(
+                ref_true, ours_sub_per_word, ref_per_word, ours_subset, ref_pred
+            )
+            print(f"paired disagreements: {len(paired)}", flush=True)
         else:
             print("reference unavailable (no TF/tf_keras/cv2)", flush=True)
 
@@ -491,6 +648,7 @@ def main():
         "recognizer_steps": train_meta["recognizer_steps"],
         "ours": ours,
         "reference": reference,
+        "paired_disagreements": paired,
     }
     print(json.dumps(result))
     with open(args.output, "w", encoding="utf8") as f:

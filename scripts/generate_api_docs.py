@@ -139,8 +139,18 @@ def render_member(module_name, name, obj, out):
     return kind
 
 
-def main():
+def main(argv=None):
+    import argparse
     import importlib
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--check",
+        action="store_true",
+        help="exit 1 if docs/api.md differs from what would be generated "
+        "(CI drift guard) instead of writing it",
+    )
+    args = parser.parse_args(argv)
 
     out = [
         "# API reference",
@@ -159,10 +169,26 @@ def main():
             for name, obj in public_members(module, names):
                 render_member(module_name, name, obj, out)
     path = os.path.join(REPO, "docs", "api.md")
+    content = "\n".join(out).rstrip() + "\n"
+    if args.check:
+        try:
+            with open(path, encoding="utf8") as f:
+                current = f.read()
+        except OSError:
+            current = None
+        if current != content:
+            print(
+                f"{path} is stale: run `python scripts/generate_api_docs.py` "
+                "and commit the result"
+            )
+            return 1
+        print(f"{path} is up to date")
+        return 0
     with open(path, "w", encoding="utf8") as f:
-        f.write("\n".join(out).rstrip() + "\n")
+        f.write(content)
     print(f"wrote {path}")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
