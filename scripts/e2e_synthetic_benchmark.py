@@ -528,12 +528,14 @@ def main():
     global SCENE_HEIGHT, SCENE_WIDTH
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--detector-steps", type=int, default=800)
+    parser.add_argument("--detector-steps", type=int, default=1600)
     parser.add_argument("--recognizer-steps", type=int, default=4000)
     parser.add_argument("--pool-scenes", type=int, default=300)
-    # Detector batch 4 (not 8): protocol-sized scenes mean 960x1280
-    # detector training inputs, and batch 8 fwd+bwd does not fit HBM.
-    parser.add_argument("--batch-size", type=int, default=4)
+    # Detector batch 2 (not 8): protocol-sized scenes mean 960x1280
+    # detector training inputs; batch 4 fwd+bwd measured 16.01G of
+    # 15.75G v5e HBM (OOM by 265M), batch 2 fits. Default
+    # --detector-steps keeps the r4 sample budget (steps x batch).
+    parser.add_argument("--batch-size", type=int, default=2)
     parser.add_argument("--eval-scenes", type=int, default=300)
     parser.add_argument("--scene-height", type=int, default=SCENE_HEIGHT)
     parser.add_argument("--scene-width", type=int, default=SCENE_WIDTH)

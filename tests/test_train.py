@@ -196,6 +196,30 @@ def test_checkpoint_roundtrip(recognizer, tmp_path):
     assert checkpoint.latest(str(tmp_path)) == saved
 
 
+def test_checkpoint_npz_single_file_roundtrip(recognizer, tmp_path):
+    """save_npz/restore_npz: one committable file, optional f16 cast
+    (the golden-artifact format, scripts/make_golden_artifact.py)."""
+    path = os.path.join(tmp_path, "weights.npz")
+    checkpoint.save_npz(path, recognizer.variables)
+    restored = checkpoint.restore_npz(path)
+    flat_a = jax.tree.leaves(recognizer.variables)
+    flat_b = jax.tree.leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert os.path.isfile(path)  # exactly one file, no orbax directory
+
+    # f16 cast halves the payload and round-trips within f16 precision.
+    half = os.path.join(tmp_path, "weights_f16.npz")
+    checkpoint.save_npz(half, recognizer.variables, cast=np.float16)
+    restored16 = checkpoint.restore_npz(half)
+    for a, b in zip(flat_a, jax.tree.leaves(restored16)):
+        a = np.asarray(a)
+        assert np.asarray(b).dtype != np.float16  # upcast on restore
+        if np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(np.asarray(b), a, rtol=2e-3, atol=1e-4)
+
+
 def test_tensor_parallel_sharding_step(recognizer):
     """model-axis sharding (§2c): a (4, 2) mesh step compiles and runs."""
     from keras_ocr_tpu.parallel import mesh as mesh_lib
