@@ -299,6 +299,36 @@ def estimate_rpc_floor_ms(samples=12):
         return None, None
 
 
+def estimate_upload_bandwidth_mbps(samples=6):
+    """Host->device transfer bandwidth of the (possibly tunneled) runtime.
+
+    Throughput is bounded by min(compute rate, upload rate): each 640x480
+    uint8 image is 0.92 MB that must cross the link, so at e.g. 27 MB/s
+    (measured on a bad tunnel day) the hard ceiling is ~29.6 img/s for
+    batch-16 serving no matter the queue depth. Recording the measured
+    bandwidth next to the throughput makes that ceiling explicit — on
+    locally-attached chips (PCIe/DMA, GB/s) the bound disappears and
+    throughput reverts to compute-bound.
+    """
+    try:
+        import jax
+
+        payload = np.random.RandomState(0).randint(
+            0, 255, size=(8, 480, 640, 3), dtype="uint8"
+        )
+        best = float("inf")
+        for _ in range(samples):
+            start = time.perf_counter()
+            device = jax.device_put(payload)
+            device.block_until_ready()
+            best = min(best, time.perf_counter() - start)
+            del device
+        return round(payload.nbytes / best / 1e6, 1)
+    except Exception as exc:  # noqa: BLE001 - diagnostics must not kill bench
+        print(f"upload bandwidth estimate unavailable: {exc}", file=sys.stderr)
+        return None
+
+
 def measure():
     """Latency + throughput + golden, printing one JSON line (subprocess)."""
     provenance = (
@@ -342,6 +372,7 @@ def measure():
     # across rounds (VERDICT r3 weak #1: r2->r3 "regression" was floor
     # drift, not code).
     rpc_floor_ms, rpc_floor_p50_ms = estimate_rpc_floor_ms()
+    upload_mbps = estimate_upload_bandwidth_mbps()
 
     # Aggregate escalation/rerun counters across every timed call so the
     # recorded latency is auditable: a p50 that includes cap-escalation
@@ -410,6 +441,12 @@ def measure():
         "latency_spread_ms": [round(lat_min_ms, 2), round(lat_max_ms, 2)],
         "rpc_floor_ms": rpc_floor_ms,
         "rpc_floor_p50_ms": rpc_floor_p50_ms,
+        "upload_bandwidth_mbps": upload_mbps,
+        # The tunnel's hard throughput ceiling for this serving shape:
+        # every image is ~0.92 MB of uint8 that must cross the link.
+        "upload_bound_ips": (
+            round(upload_mbps / (images[0].nbytes / 1e6), 1) if upload_mbps else None
+        ),
         "throughput_ips_chip": round(ips, 2),
         "throughput_vs_baseline": round(ips / BASELINE_IPS, 2),
         "throughput_spread_ips": [
