@@ -66,8 +66,24 @@ def main():
     # RPC round-trip floor sampled per-configuration: on a tunneled chip
     # the floor DRIFTS between minutes, and a sweep table without it
     # cannot distinguish "this shape is slower" from "the tunnel got
-    # worse while we measured it" (VERDICT r4 weak #4).
+    # worse while we measured it" (VERDICT r4 weak #4). The upload
+    # bandwidth (measured once) gives the tunnel's hard throughput
+    # ceiling: ~0.92 MB/image must cross the link (PERF.md round 5).
     import bench
+
+    upload_mbps = bench.estimate_upload_bandwidth_mbps()
+    if upload_mbps:
+        print(
+            json.dumps(
+                {
+                    "upload_bandwidth_mbps": upload_mbps,
+                    "upload_bound_ips": round(
+                        upload_mbps / (images[0].nbytes / 1e6), 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
 
     best = None
     for batch_size, depth in itertools.product(args.batches, args.depths):
