@@ -3,7 +3,7 @@
 
 PYTHON ?= python
 
-.PHONY: init format format-check lint-check type-check test test-all test-tpu doc-examples bench native docs clean
+.PHONY: init format format-check lint-check type-check test test-all test-tpu doc-examples bench golden-artifact native docs docs-check clean
 
 init:
 	$(PYTHON) -m pip install -e . --no-deps --no-build-isolation
@@ -56,6 +56,14 @@ test-tpu:
 
 bench:
 	$(PYTHON) bench.py
+
+# Rebuild the committed hermetic golden artifact (run on a TPU; trains
+# the slim models from scratch and verifies the artifact from disk).
+golden-artifact:
+	$(PYTHON) scripts/make_golden_artifact.py
+
+docs-check:
+	$(PYTHON) scripts/generate_api_docs.py --check
 
 native:
 	g++ -O3 -shared -fPIC -o keras_ocr_tpu/_native/libhostops.so csrc/hostops.cpp
