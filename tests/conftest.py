@@ -27,12 +27,39 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite's cost is dominated by XLA
 # recompiling the same pipeline/trainer programs every run. Cache compiled
 # executables on disk (keyed by HLO, so code changes still recompile).
-# Known rough edge: the CPU AOT loader warns about compile-vs-host machine
-# feature strings on load ("prefer-no-gather...") — harmless in normal
-# runs; one SIGABRT was observed only under extreme cross-process
-# contention. Delete the cache dir if aborts ever repeat in clean runs.
+#
+# The directory is keyed by the EFFECTIVE compile configuration — jax
+# version, XLA_FLAGS, the axon terminal env (whose remote-compile path
+# merges extra flags into compiles), and the host CPU's feature set.
+# Reason: XLA:CPU AOT executables embed compile-time machine-feature
+# strings; loading an entry written under a different configuration
+# usually just logs cpu_aot_loader rejections and recompiles, but has
+# been observed to SIGSEGV inside get_executable_and_time when a shared
+# directory accumulated entries from differently-configured processes
+# (2026-08-20, full-suite run). Distinct configs now get distinct dirs,
+# so no process ever deserializes an executable it didn't effectively
+# compile.
+import hashlib
+
+
+def _cache_config_key():
+    ident = [jax.__version__, os.environ.get("XLA_FLAGS", "")]
+    ident.append(os.environ.get("PALLAS_AXON_REMOTE_COMPILE", ""))
+    ident.append(os.environ.get("PALLAS_AXON_POOL_IPS", ""))
+    try:
+        with open("/proc/cpuinfo", encoding="utf8") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(" | ".join(ident).encode()).hexdigest()[:10]
+
+
 _cache_dir = os.environ.get(
-    "KERAS_OCR_TPU_TEST_CACHE", "/tmp/keras_ocr_tpu_xla_cache"
+    "KERAS_OCR_TPU_TEST_CACHE",
+    f"/tmp/keras_ocr_tpu_xla_cache_{_cache_config_key()}",
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
