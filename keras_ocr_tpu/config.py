@@ -70,28 +70,41 @@ def set_config(config: RuntimeConfig) -> None:
 
 
 def _host_fingerprint() -> str:
-    """Short id of this host's instruction-set capabilities.
+    """Short id of this host's effective XLA compile configuration.
 
-    XLA:CPU persists AOT executables whose machine features must match the
-    executing host (mismatches warn and can SIGILL), and this repo's cache
-    directory travels between machines (builder box vs bench box). Keying
-    the default cache path by CPU feature set keeps each host's artifacts
-    separate; TPU executables are keyed by the runtime already, so sharing
-    within one host is still fully effective.
+    XLA:CPU persists AOT executables whose embedded machine-feature
+    strings must match on reload (mismatches log cpu_aot_loader
+    rejections, and deserializing an entry written by a
+    differently-configured process has been observed to SIGSEGV), and
+    this repo's cache directory travels between machines (builder box vs
+    bench box) and between process configurations (plain vs
+    axon-terminal env, whose remote-compile path merges extra XLA
+    flags). Keying the default cache path by CPU feature set + jax
+    version + XLA_FLAGS + axon env keeps every configuration's artifacts
+    separate; TPU executables are keyed by the runtime already, so
+    sharing within one configuration is still fully effective.
     """
     import hashlib
     import platform
 
-    ident = platform.machine()
+    import jax as _jax
+
+    parts = [
+        platform.machine(),
+        _jax.__version__,
+        os.environ.get("XLA_FLAGS", ""),
+        os.environ.get("PALLAS_AXON_REMOTE_COMPILE", ""),
+        os.environ.get("PALLAS_AXON_POOL_IPS", ""),
+    ]
     try:
         with open("/proc/cpuinfo", encoding="utf8") as f:
             for line in f:
                 if line.startswith(("flags", "Features")):
-                    ident += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
                     break
     except OSError:
         pass
-    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+    return hashlib.sha256(" | ".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compile_cache(directory: typing.Optional[str] = None) -> str:
