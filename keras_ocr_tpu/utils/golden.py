@@ -26,8 +26,6 @@ import json
 import os
 import typing
 
-import numpy as np
-
 META_NAME = "meta.json"
 EXPECTED_NAME = "expected.json"
 DETECTOR_NAME = "detector_slim.npz"
