@@ -48,13 +48,14 @@ def test_dryrun_multichip_cold_cache_budget(tmp_path, monkeypatch):
     """A COLD-cache dryrun must fit the driver timeout on a foreign host.
 
     Round 4 regressed exactly this (MULTICHIP_r04.json rc=124): the
-    forced-CPU compile cache was not host-fingerprinted, so on the driver
-    box every AOT entry was rejected and the 3-phase run recompiled cold
-    past the timeout. Pointing HOME at a fresh tmpdir reproduces the
-    foreign-host state (empty fingerprinted cache); the budget asserts
-    the cold compile load stays bounded. 420 s passes with >2x margin on
-    a 1-vCPU builder box (measured 215 s for n=8 on 2026-08-20); any
-    multi-core driver host is far faster.
+    forced-CPU compile cache consulted a stale dir, every AOT entry was
+    rejected, and the 3-phase run recompiled cold past the timeout. The
+    dryrun now runs CACHE-LESS by design (persistent-cache reloads also
+    SIGSEGV'd on this jaxlib, see tests/conftest.py), so every run pays
+    the cold compile and this budget is the real protection: 420 s
+    passes with >2x margin on a 1-vCPU builder box (measured 179 s for
+    n=8 cache-less on 2026-08-20); any multi-core driver host is far
+    faster.
     """
     import time
 
@@ -62,4 +63,4 @@ def test_dryrun_multichip_cold_cache_budget(tmp_path, monkeypatch):
     start = time.monotonic()
     graft_entry.dryrun_multichip(4)
     elapsed = time.monotonic() - start
-    assert elapsed < 420, f"cold-cache dryrun took {elapsed:.0f}s"
+    assert elapsed < 420, f"cache-less dryrun took {elapsed:.0f}s"
