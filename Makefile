@@ -42,6 +42,10 @@ type-check:
 test:
 	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
 
+# Note: the suite defaults to NO persistent compile cache (a jaxlib
+# XLA:CPU AOT reload bug SIGSEGVs on some environments — see
+# tests/conftest.py). On a trusted environment, speed the slow suite up
+# ~3x with: KERAS_OCR_TPU_TEST_CACHE="$$(mktemp -d)" make test-all
 test-all:
 	$(PYTHON) -m pytest tests/ -x -q
 
